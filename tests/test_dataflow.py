@@ -1,0 +1,169 @@
+"""End-to-end Spark tests: token table → keys → dedup → sharded build →
+broadcast/cogrouped probe → semi/anti joins → checkpoint resume.
+
+These are the distributed counterparts of the reference's in-memory contract
+(zero false negatives src/lib.rs:117-119, FPP bounds src/bfuse8.rs:203-217)
+plus the north-rule requirements: merge associativity, skew defusal,
+checkpoint-resumable builds with per-shard lineage metrics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorf_spark import dataflow as D
+from xorf_spark.sources import docs_tokens
+
+N_DOCS = 5_000
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    df = docs_tokens(spark, N_DOCS).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def built(spark, token_df):
+    keys = D.doc_keys(token_df).select("key")
+    shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=8).cache()
+    table = D.FilterTable.from_df(shard_df, n_shards=8)
+    return shard_df, table
+
+
+def test_token_table_shape_and_determinism(spark, token_df):
+    assert token_df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    # per-row invariant: n_tok == size(tokens) always (BASELINE.json input_hint)
+    bad = token_df.where(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    # deterministic regeneration: token-array equality per row
+    again = docs_tokens(spark, N_DOCS)
+    diff = token_df.join(again, "doc_id").where(
+        token_df["tokens"] != again["tokens"]).count()
+    assert diff == 0
+    # skewed source distribution present
+    srcs = dict(token_df.groupBy("source").count().collect())
+    assert srcs["web"] > srcs["books"] > srcs["code"]
+
+
+def test_sharded_build_and_probe(spark, token_df, built):
+    shard_df, table = built
+    rows = shard_df.collect()
+    assert 0 < len(rows) <= 8
+    n_distinct = D.doc_keys(token_df).select("key").distinct().count()
+    assert sum(r["n_keys"] for r in rows) == n_distinct
+    # lineage/metrics present per shard (north star)
+    for r in rows:
+        assert r["retries"] >= 0 and r["build_secs"] > 0 and r["peel_rounds"] > 0
+    # bits/entry within the BinaryFuse8 doc bound at aggregate level
+    # (small shards carry fixed overhead; allow the documented small-n factor)
+    assert table.bits_per_entry() < 13.0
+    # zero false negatives through the full distributed path
+    keys = np.array([r["key"] for r in
+                     D.doc_keys(token_df).select("key").collect()],
+                    dtype=np.int64)
+    assert table.contains_np(keys).all()
+    # FPP on fresh keys
+    fresh = np.random.default_rng(5).integers(0, 2**64, 200_000, dtype=np.uint64)
+    fpp = table.contains_np(fresh).mean()
+    assert fpp < 0.406e-2 * 1.5
+
+
+def test_contains_udf_in_where_clause(spark, token_df, built):
+    _, table = built
+    keyed = D.doc_keys(token_df)
+    kept = table.where_member(keyed, "key")
+    assert kept.count() == token_df.count()  # zero FN: every real key passes
+
+
+def test_merge_associativity(spark, token_df):
+    """Build at 4 shards vs 16 shards → identical membership verdicts
+    (north_rule merge criterion: shards are disjoint hash ranges)."""
+    keys = D.doc_keys(token_df).select("key")
+    t4 = D.FilterTable.from_df(
+        D.build_filter_df(keys, kind="bfuse8", n_shards=4), n_shards=4)
+    t16 = D.FilterTable.from_df(
+        D.build_filter_df(keys, kind="bfuse8", n_shards=16), n_shards=16)
+    member = np.array([r["key"] for r in keys.distinct().collect()], dtype=np.int64)
+    assert t4.contains_np(member).all()
+    assert t16.contains_np(member).all()
+    # both reject (almost) everything fresh; exact FPP differs per shard seed
+    fresh = np.random.default_rng(6).integers(0, 2**64, 100_000, dtype=np.uint64)
+    assert t4.contains_np(fresh).mean() < 0.01
+    assert t16.contains_np(fresh).mean() < 0.01
+
+
+def test_filter_semi_join_equals_exact(spark, token_df):
+    probe = token_df.limit(2000).select("doc_id", "tokens")
+    build = token_df.where(F.col("source") == "books").select("tokens")
+    got = D.filter_semi_join(probe, build, "tokens", "tokens").count()
+    want = probe.join(build.distinct(),
+                      on=probe["tokens"] == build["tokens"],
+                      how="left_semi").count()
+    assert got == want
+
+
+def test_filter_anti_join_equals_exact(spark, token_df):
+    probe = token_df.limit(2000).select("doc_id", "tokens")
+    build = token_df.where(F.col("source") == "books").select("tokens")
+    got = D.filter_anti_join(probe, build, "tokens", "tokens").count()
+    want = probe.join(build.distinct(),
+                      on=probe["tokens"] == build["tokens"],
+                      how="left_anti").count()
+    assert got == want
+
+
+def test_shingle_keys(spark, token_df):
+    sk = D.shingle_keys(token_df, k=8)
+    # every doc with ≥8 tokens yields size-k+... n-k+1 shingles
+    want = token_df.where(F.size("tokens") >= 8).select(
+        F.sum(F.size("tokens") - 8 + 1)).collect()[0][0]
+    assert sk.count() == want
+    # shingle keys are long-typed and deduplicable
+    assert sk.select("key").distinct().count() > 0
+
+
+def test_cogrouped_probe_matches_broadcast(spark, token_df, built):
+    shard_df, table = built
+    keyed = D.doc_keys(token_df).select("key").limit(3000)
+    got = D.probe_cogrouped(keyed, shard_df, n_shards=8)
+    rows = got.collect()
+    keys = np.array([r["key"] for r in rows], dtype=np.int64)
+    want = table.contains_np(keys)
+    np.testing.assert_array_equal(np.array([r["member"] for r in rows]), want)
+    assert all(r["member"] for r in rows)  # all inserted → all true
+
+
+def test_checkpoint_resume(spark, token_df, tmp_path):
+    """Interrupted build resumes to a byte-identical shard table."""
+    path_full = os.path.join(str(tmp_path), "full")
+    path_resume = os.path.join(str(tmp_path), "resumed")
+    keys = D.doc_keys(token_df).select("key")
+    D.build_filter_table(keys, path_full, kind="bfuse8", n_shards=8)
+
+    # simulate a killed job: only shards 0..2 committed
+    partial = spark.read.parquet(path_full).where(F.col("shard_id") < 3)
+    partial.write.parquet(path_resume)
+    resumed = D.build_filter_table(keys, path_resume, kind="bfuse8", n_shards=8)
+
+    full = {r["shard_id"]: r for r in spark.read.parquet(path_full).collect()}
+    res = {r["shard_id"]: r for r in resumed.collect()}
+    assert set(full) == set(res)
+    for sid in full:
+        assert full[sid]["seed"] == res[sid]["seed"]
+        assert full[sid]["fingerprints"] == res[sid]["fingerprints"]
+
+
+def test_skew_defusal_plan(spark, token_df):
+    """Doc-length/source skew cannot reach the build: sharding is on the
+    hashed key, which is uniform — assert shard sizes are balanced even
+    though doc lengths and sources are heavily skewed."""
+    keys = D.doc_keys(token_df).select("key").distinct()
+    sizes = (keys.withColumn("shard_id", D.shard_id_col("key", 8))
+             .groupBy("shard_id").count().collect())
+    counts = np.array([r["count"] for r in sizes], dtype=float)
+    assert counts.size == 8
+    assert counts.max() / counts.min() < 1.3  # near-uniform

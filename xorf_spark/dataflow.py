@@ -1,0 +1,427 @@
+"""Distributed build/probe dataflow: the Spark-native re-expression of the
+reference's construction and probe operators.
+
+The reference (ayazhafiz/xorf) is a single-threaded in-memory library; the
+whole distributed dataflow — scan → key derivation → exact dedup → hash-prefix
+sharding → per-shard build → shard-table persistence → probe — is designed
+here Spark-first (SURVEY.md §4.2):
+
+- key derivation: Catalyst expressions only (``xxhash64``), no Python;
+- dedup: ``distinct()`` — hash aggregate with map-side partial agg, which is
+  the work the Rust caller must do by hand (reference src/lib.rs:42-44);
+- sharding: ``shard_id = key >>> (64 - p)`` — the *hashed* key is uniform, so
+  hash-prefix sharding defuses any source/doc-length skew by construction, and
+  shards are disjoint key ranges ⇒ filter shards merge associatively (union);
+- build: ``groupBy(shard_id).applyInPandas`` running the vectorized numpy
+  kernel (reference construction, src/prelude/bfuse.rs:99-316) on one Arrow
+  batch of deduped keys per shard;
+- probe: broadcast of shard (descriptor, fingerprints) + vectorized pandas UDF
+  (reference contains, src/prelude/bfuse.rs:321-340); for filters too large to
+  broadcast, a cogrouped shard-routed probe that never materializes the whole
+  filter on one node.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import build as B
+from .filters import FILTER_CLASSES
+
+MASK64 = (1 << 64) - 1
+
+#: One row per shard: immutable, mergeable snapshot of a built filter shard.
+#: ``fingerprints`` is the little-endian DMA byte layout (reference
+#: src/lib.rs:139-154); descriptor fields are plain columns so the parquet
+#: shard table is interchangeable with reference DMA buffers.
+SHARD_SCHEMA = StructType([
+    StructField("shard_id", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("seed", LongType(), False),            # u64 seed, signed view
+    StructField("block_length", LongType(), True),     # xor family
+    StructField("segment_length", LongType(), True),   # fuse + bfuse
+    StructField("segment_length_mask", LongType(), True),
+    StructField("segment_count_length", LongType(), True),
+    StructField("fingerprints", BinaryType(), False),
+    StructField("n_keys", LongType(), False),
+    StructField("num_slots", LongType(), False),
+    StructField("retries", IntegerType(), False),
+    StructField("duplicates", LongType(), False),
+    StructField("peel_rounds", IntegerType(), False),
+    StructField("build_secs", DoubleType(), False),
+])
+
+_FP_DTYPES = {8: np.dtype("<u1"), 16: np.dtype("<u2"), 32: np.dtype("<u4")}
+
+#: bfuse peak scratch ≈ hxor(8B) + counts(8B) + posxor(1B) per slot ≈ 19B/key
+#: at 1.125 overhead plus the key batch itself — 16M keys/shard ≈ ~500MB peak,
+#: bounded per python worker.
+DEFAULT_TARGET_KEYS_PER_SHARD = 16_000_000
+
+
+def _fp_bits(kind: str) -> int:
+    return int(kind.replace("xor", "").replace("bfuse", "").replace("fuse", ""))
+
+
+# ---------------------------------------------------------------------------
+# Key derivation (HashProxy role, reference src/hash_proxy.rs:124-138 — any
+# column → LongType expression plays the Hasher)
+# ---------------------------------------------------------------------------
+
+def doc_keys(df: DataFrame, cols: list[str] | str = "tokens",
+             key_col: str = "key") -> DataFrame:
+    """64-bit key per row: ``xxhash64`` of the given columns (JVM-side,
+    whole-stage codegen; arrays hash structurally)."""
+    if isinstance(cols, str):
+        cols = [cols]
+    return df.withColumn(key_col, F.xxhash64(*[F.col(c) for c in cols]))
+
+
+def shingle_keys(df: DataFrame, tokens_col: str = "tokens", k: int = 8,
+                 key_col: str = "key") -> DataFrame:
+    """One key per k-token shingle (stride 1), fully Catalyst-side:
+    ``posexplode(transform(sequence(...), i -> xxhash64(slice(tokens, i, k))))``.
+    Documents shorter than k produce no shingles."""
+    n = F.size(F.col(tokens_col))
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size({tokens_col}) - {k} + 1, 0)), "
+        f"i -> xxhash64(slice({tokens_col}, i, {k})))")
+    return (df
+            .where(n >= k)
+            .select("*", F.explode(shingles).alias(key_col)))
+
+
+def shard_id_col(key_col: str = "key", n_shards: int = 16) -> Column:
+    """Hash-prefix shard id: top ``log2(n_shards)`` bits of the (already
+    uniform) 64-bit key. Disjoint ranges ⇒ shard merge is a plain union."""
+    p = int(math.log2(n_shards))
+    if 1 << p != n_shards:
+        raise ValueError("n_shards must be a power of two")
+    if p == 0:
+        return F.lit(0).cast("int")
+    return F.shiftrightunsigned(F.col(key_col), 64 - p).cast("int")
+
+
+def pick_n_shards(n_keys: int,
+                  target: int = DEFAULT_TARGET_KEYS_PER_SHARD,
+                  min_shards: int = 1) -> int:
+    """Smallest power of two giving ≤ ``target`` keys per shard."""
+    want = max(min_shards, -(-n_keys // target) if n_keys else 1)
+    return 1 << max(0, (want - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# Distributed build
+# ---------------------------------------------------------------------------
+
+def _build_shard_fn(kind: str, uniform_random: bool = True):
+    fp_bits = _fp_bits(kind)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        shard_id = int(pdf["shard_id"].iloc[0]) if len(pdf) else 0
+        keys = pdf["key"].to_numpy(np.int64).view(np.uint64)
+        if kind.startswith("xor"):
+            r = B.build_xor(np.unique(keys), fp_bits, check_distinct=False)
+        elif kind.startswith("bfuse"):
+            # per-shard deterministic fp-init seed for resumability
+            r = B.build_binary_fuse(keys, fp_bits, uniform_random=uniform_random,
+                                    fp_seed=0xC0FFEE ^ shard_id)
+        elif kind.startswith("fuse"):
+            r = B.build_fuse(np.unique(keys), fp_bits, check_distinct=False,
+                             uniform_random=uniform_random,
+                             fp_seed=0xC0FFEE ^ shard_id)
+        else:
+            raise ValueError(f"unknown filter kind {kind}")
+        p = r.params
+        row = {
+            "shard_id": shard_id,
+            "kind": kind,
+            "seed": np.int64(np.uint64(r.seed & MASK64)),
+            "block_length": p.get("block_length"),
+            "segment_length": p.get("segment_length"),
+            "segment_length_mask": p.get("segment_length_mask"),
+            "segment_count_length": p.get("segment_count_length"),
+            "fingerprints": r.fingerprints.astype(
+                _FP_DTYPES[fp_bits], copy=False).tobytes(),
+            "n_keys": r.metrics["n_keys"],
+            "num_slots": r.num_slots,
+            "retries": r.metrics["retries"],
+            "duplicates": r.metrics["duplicates"],
+            "peel_rounds": r.metrics["rounds"],
+            "build_secs": time.time() - t0,
+        }
+        return pd.DataFrame([row])
+
+    return build_shard
+
+
+def build_filter_df(keys_df: DataFrame, kind: str = "bfuse8",
+                    n_shards: int | None = None, key_col: str = "key",
+                    dedup: bool = True,
+                    target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD,
+                    uniform_random: bool = True) -> DataFrame:
+    """Lazy shard-table DataFrame for a distributed filter build.
+
+    ``keys_df`` is any DataFrame with a LongType ``key_col``. The plan is:
+    project → distinct (shuffle #1, with map-side partial agg) → shard by key
+    prefix → groupBy(shard).applyInPandas(numpy kernel) (shuffle #2, on the
+    uniform hashed key so it cannot skew).
+    """
+    keys = keys_df.select(F.col(key_col).alias("key"))
+    if dedup:
+        keys = keys.distinct()
+    if n_shards is None:
+        n_shards = pick_n_shards(keys.count(), target_keys_per_shard)
+    sharded = keys.withColumn("shard_id", shard_id_col("key", n_shards))
+    return (sharded
+            .groupBy("shard_id")
+            .applyInPandas(_build_shard_fn(kind, uniform_random), SHARD_SCHEMA))
+
+
+def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
+                       n_shards: int | None = None, key_col: str = "key",
+                       resume: bool = True, **kw) -> DataFrame:
+    """Checkpoint-resumable build: writes the shard table as parquet.
+
+    Shards are append-only and deterministic (fixed seed schedule from
+    splitmix64 state 1 + per-shard fp-init seed), so a restarted job
+    anti-joins the already-committed shard ids and only builds the missing
+    ones — the final table is identical to an uninterrupted run.
+    """
+    spark = keys_df.sparkSession
+    done_ids: set[int] = set()
+    if resume:
+        try:
+            done = spark.read.parquet(path).select("shard_id").distinct()
+            done_ids = {r.shard_id for r in done.collect()}
+        except Exception:
+            done_ids = set()
+
+    if n_shards is None:
+        keys = keys_df.select(F.col(key_col).alias("key")).distinct()
+        n_shards = pick_n_shards(keys.count(),
+                                 kw.get("target_keys_per_shard",
+                                        DEFAULT_TARGET_KEYS_PER_SHARD))
+    kw.pop("target_keys_per_shard", None)
+    pending = keys_df
+    if done_ids:
+        pending = keys_df.where(
+            ~shard_id_col(key_col, n_shards).isin(list(done_ids)))
+    shard_df = build_filter_df(pending, kind=kind, n_shards=n_shards,
+                               key_col=key_col, **kw)
+    if done_ids:
+        shard_df = shard_df.where(~F.col("shard_id").isin(list(done_ids)))
+    shard_df.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Probe side
+# ---------------------------------------------------------------------------
+
+def _filter_from_row(row) -> tuple:
+    """(kind, probe-callable) from a shard row without copying fingerprints."""
+    kind = row["kind"]
+    fp_bits = _fp_bits(kind)
+    fps = np.frombuffer(row["fingerprints"], dtype=_FP_DTYPES[fp_bits])
+    seed = int(row["seed"]) & MASK64
+    if kind.startswith("xor"):
+        bl = int(row["block_length"])
+        return lambda keys: B.contains_xor(keys, seed, bl, fps)
+    if kind.startswith("bfuse"):
+        sl = int(row["segment_length"])
+        slm = int(row["segment_length_mask"])
+        scl = int(row["segment_count_length"])
+        return lambda keys: B.contains_binary_fuse(keys, seed, sl, slm, scl, fps)
+    sl = int(row["segment_length"])
+    return lambda keys: B.contains_fuse(keys, seed, sl, fps)
+
+
+class FilterTable:
+    """A built, sharded filter: routes probes by hash prefix.
+
+    Holds plain shard rows (descriptor columns + fingerprint bytes) — cheap to
+    pickle into a Spark broadcast; probe callables are built lazily as
+    zero-copy numpy views over the bytes (reference ``from_dma`` spirit,
+    src/bfuse8.rs:159-168).
+    """
+
+    def __init__(self, rows: dict[int, dict], n_shards: int):
+        self.rows = rows
+        self.n_shards = max(int(n_shards), 1)
+        self.prefix_bits = int(math.log2(self.n_shards))
+        self._fns: dict[int, object] = {}
+
+    @classmethod
+    def from_df(cls, shard_df: DataFrame, n_shards: int | None = None
+                ) -> "FilterTable":
+        rows = {int(r["shard_id"]): r.asDict() for r in shard_df.collect()}
+        if n_shards is None:
+            m = max(rows, default=0)
+            n_shards = 1 << (m.bit_length() if m else 0)
+        return cls(rows, n_shards)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             n_shards: int | None = None) -> "FilterTable":
+        return cls.from_df(spark.read.parquet(path), n_shards)
+
+    def _fn(self, sid: int):
+        fn = self._fns.get(sid)
+        if fn is None and sid in self.rows:
+            fn = _filter_from_row(self.rows[sid])
+            self._fns[sid] = fn
+        return fn
+
+    @property
+    def n_keys(self) -> int:
+        return sum(r["n_keys"] for r in self.rows.values())
+
+    @property
+    def total_fingerprint_bytes(self) -> int:
+        return sum(len(r["fingerprints"]) for r in self.rows.values())
+
+    def bits_per_entry(self) -> float:
+        nk = self.n_keys
+        return self.total_fingerprint_bytes * 8.0 / nk if nk else float("inf")
+
+    def contains_np(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys)
+        if keys.dtype == np.int64:
+            keys = keys.view(np.uint64)
+        keys = keys.astype(np.uint64, copy=False)
+        if self.prefix_bits == 0:
+            fn = self._fn(0)
+            return fn(keys) if fn is not None else np.zeros(keys.size, dtype=bool)
+        out = np.zeros(keys.size, dtype=bool)
+        pref = (keys >> np.uint64(64 - self.prefix_bits)).astype(np.int64)
+        for sid in self.rows:
+            m = pref == sid
+            if m.any():
+                out[m] = self._fn(sid)(keys[m])
+        return out
+
+    def contains_udf(self, spark: SparkSession):
+        """Vectorized pandas UDF ``long key -> bool`` over a broadcast of the
+        shard rows; usable in WHERE clauses, joins and SQL (after
+        ``spark.udf.register``)."""
+        from pyspark.sql.functions import pandas_udf
+
+        bc = spark.sparkContext.broadcast((self.rows, self.n_shards))
+
+        @pandas_udf("boolean")
+        def _contains(keys: pd.Series) -> pd.Series:
+            key = id(bc)
+            table = _TABLE_CACHE.get(key)
+            if table is None:
+                rows, n_shards = bc.value
+                table = FilterTable(rows, n_shards)
+                _TABLE_CACHE[key] = table
+            arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
+            return pd.Series(table.contains_np(arr))
+
+        return _contains
+
+    def where_member(self, df: DataFrame, key_col: str = "key",
+                     negate: bool = False) -> DataFrame:
+        """Membership pre-filter — the reference's stated use case
+        (src/lib.rs:2-4): keep (or drop) rows whose key the filter accepts.
+        Zero false negatives ⇒ never drops a true member."""
+        udf = self.contains_udf(df.sparkSession)
+        cond = udf(F.col(key_col))
+        return df.where(~cond if negate else cond)
+
+
+_TABLE_CACHE: dict = {}
+
+
+def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,
+                     probe_key: str, build_key: str,
+                     table: FilterTable | None = None,
+                     kind: str = "bfuse8", exact: bool = True) -> DataFrame:
+    """Membership semi-join: filter pre-pass + (optional) exact backstop.
+
+    The filter pass eliminates ~(1-FPP) of non-matching probe rows *before*
+    the shuffle; with ``exact=True`` a real ``left_semi`` join removes the
+    residual false positives, so the result equals the exact semi-join — at a
+    fraction of the shuffled bytes. This is the distributed analog of the
+    reference's "filter in front of slower lookup" pattern (src/lib.rs:2-4).
+    """
+    spark = probe_df.sparkSession
+    if table is None:
+        keys = doc_keys(build_df.select(build_key), cols=build_key)
+        shard_df = build_filter_df(keys, kind=kind, n_shards=1)
+        table = FilterTable.from_df(shard_df, n_shards=1)
+    probed = doc_keys(probe_df, cols=probe_key, key_col="__xorf_key")
+    passed = table.where_member(probed, "__xorf_key").drop("__xorf_key")
+    if not exact:
+        return passed
+    build_keys = build_df.select(F.col(build_key).alias("__xorf_bk")).distinct()
+    return passed.join(build_keys,
+                       on=F.col(probe_key) == F.col("__xorf_bk"),
+                       how="left_semi")
+
+
+def filter_anti_join(probe_df: DataFrame, build_df: DataFrame,
+                     probe_key: str, build_key: str,
+                     table: FilterTable | None = None,
+                     kind: str = "bfuse8") -> DataFrame:
+    """Exact anti-join accelerated by the filter: rows rejected by the filter
+    are *definitely* non-members (zero false negatives) and skip the join;
+    only filter-accepted rows (matches + FPP residue) reach the exact
+    anti-join."""
+    if table is None:
+        keys = doc_keys(build_df.select(build_key), cols=build_key)
+        shard_df = build_filter_df(keys, kind=kind, n_shards=1)
+        table = FilterTable.from_df(shard_df, n_shards=1)
+    probed = doc_keys(probe_df, cols=probe_key, key_col="__xorf_key")
+    udf = table.contains_udf(probe_df.sparkSession)
+    rejected = probed.where(~udf(F.col("__xorf_key"))).drop("__xorf_key")
+    candidates = probed.where(udf(F.col("__xorf_key"))).drop("__xorf_key")
+    build_keys = build_df.select(F.col(build_key).alias("__xorf_bk")).distinct()
+    survivors = candidates.join(build_keys,
+                                on=F.col(probe_key) == F.col("__xorf_bk"),
+                                how="left_anti")
+    return rejected.unionByName(survivors)
+
+
+def probe_cogrouped(probe_df: DataFrame, shard_df: DataFrame,
+                    n_shards: int, key_col: str = "key",
+                    out_col: str = "member") -> DataFrame:
+    """Probe path for filters too large to broadcast: repartition probes by
+    the same hash prefix used at build time and cogroup with the shard table,
+    so each task sees exactly one shard's fingerprints (mmap-scale)."""
+    probes = probe_df.withColumn("shard_id", shard_id_col(key_col, n_shards))
+    out_schema = StructType(
+        probe_df.schema.fields + [StructField(out_col, BooleanType(), True)])
+
+    def probe(pkeys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        pkeys = pkeys.drop(columns=["shard_id"])
+        if shard.empty or pkeys.empty:
+            pkeys[out_col] = False
+            return pkeys
+        fn = _filter_from_row(shard.iloc[0].to_dict())
+        arr = pkeys[key_col].to_numpy(np.int64, na_value=0).view(np.uint64)
+        pkeys[out_col] = fn(arr)
+        return pkeys
+
+    return (probes.groupBy("shard_id")
+            .cogroup(shard_df.groupBy("shard_id"))
+            .applyInPandas(probe, out_schema))
