@@ -1,0 +1,674 @@
+"""Driver-contract query registry: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where ANSI-SQL-expressible) a
+DuckDB oracle that must produce identical rows.
+
+Design rules for oracle parity:
+- every computed column is aliased identically in Spark and SQL;
+- no raw float aggregates in outputs — only counts, integer sums, and floats
+  derived deterministically from exact integer sums (or rounded values whose
+  inputs are exact);
+- timestamps surface as epoch seconds (bigint);
+- portable hashing uses md5 (identical in Spark and DuckDB); xxhash64 keys
+  never appear in oracle-checked outputs (only their zero-false-negative
+  consequences do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dataflow as D
+from .sources import tokens_from_documents
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# md5-derived 60-bit integer hash — bit-identical in Spark and DuckDB
+def _md5long_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5long_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15)))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# 1. Filter-variant coverage: zero-false-negative contract per variant.
+#    The filter is built over distinct xxhash64 keys; zero FN means every
+#    probe of an inserted key passes, so the passing row count equals the
+#    exact row count — ANSI-SQL-checkable without reproducing xxhash64.
+# ---------------------------------------------------------------------------
+
+#: (kind, expansion factor) — the deprecated fuse family needs ≥~150k keys to
+#: peel (the reference's own test_fail_construction expects failure at 1k,
+#: src/fuse8.rs:177-184), so its key set is expanded deterministically.
+_VARIANTS = [("xor8", 1), ("xor16", 1), ("xor32", 1),
+             ("bfuse8", 1), ("bfuse16", 1), ("bfuse32", 1),
+             ("fuse8", 8), ("fuse16", 8), ("fuse32", 8)]
+
+
+def _zero_fn_query(kind: str, expand: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load(spark, sf_dir, "lineitem")
+        base = li.select("l_orderkey", "l_linenumber")
+        if expand > 1:
+            base = base.select(
+                "*", F.explode(F.expr(f"sequence(1, {expand})")).alias("i"))
+        else:
+            base = base.withColumn("i", F.lit(1))
+        keyed = base.withColumn(
+            "key", F.xxhash64("l_orderkey", "l_linenumber", "i"))
+        n_shards = 1 if kind.startswith("fuse") else 4
+        shard_df = D.build_filter_df(keyed.select("key"), kind=kind,
+                                     n_shards=n_shards)
+        table = D.FilterTable.from_df(shard_df, n_shards=n_shards)
+        n_rows = keyed.count()
+        n_true = table.where_member(keyed, "key").count()
+        return spark.createDataFrame([(n_rows, n_true)],
+                                     "n_rows bigint, n_true bigint")
+
+    oracle = (f"SELECT CAST(count(*) * {expand} AS BIGINT) AS n_rows, "
+              f"CAST(count(*) * {expand} AS BIGINT) AS n_true FROM lineitem")
+    return q, oracle
+
+
+# ---------------------------------------------------------------------------
+# 2. Membership joins (the reference's stated use case, src/lib.rs:2-4):
+#    filter pre-pass + exact backstop == exact join, SQL-checkable.
+# ---------------------------------------------------------------------------
+
+def q_bfuse8_semijoin(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    hi = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    joined = D.filter_semi_join(li, hi, "l_orderkey", "o_orderkey",
+                                kind="bfuse8")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+ORACLE_BFUSE8_SEMIJOIN = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_bfuse16_antijoin(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    hi = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    joined = D.filter_anti_join(li, hi, "l_orderkey", "o_orderkey",
+                                kind="bfuse16")
+    return (joined.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .orderBy("l_linestatus"))
+
+
+ORACLE_BFUSE16_ANTIJOIN = """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_xor16_semijoin_part(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    big = load(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    joined = D.filter_semi_join(li, big, "l_partkey", "p_partkey", kind="xor16")
+    return joined.agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.countDistinct("l_partkey").alias("n_parts"))
+
+
+ORACLE_XOR16_SEMIJOIN_PART = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+"""
+
+
+def q_filter_dedup_stream(spark, sf_dir):
+    """Dedup filtering of a candidate stream (reference use case): events in
+    the second half whose user_id was never seen in the first half."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.where(F.col("event_id") < 5000).select("user_id")
+    new = ev.where(F.col("event_id") >= 5000)
+    out = D.filter_anti_join(new, seen, "user_id", "user_id", kind="bfuse8")
+    return out.agg(F.count(F.lit(1)).alias("n_new_user_events"),
+                   F.countDistinct("user_id").alias("n_new_users"))
+
+
+ORACLE_FILTER_DEDUP_STREAM = """
+SELECT CAST(count(*) AS BIGINT) AS n_new_user_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_new_users
+FROM events
+WHERE event_id >= 5000
+  AND user_id NOT IN (SELECT user_id FROM events WHERE event_id < 5000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Key derivation / token table parity
+# ---------------------------------------------------------------------------
+
+def q_token_table(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    return tok.select("doc_id", "n_tok", "source").orderBy("doc_id")
+
+
+ORACLE_TOKEN_TABLE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       source
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_shingle_stats(spark, sf_dir):
+    """Distinct 8-word shingles per source (the shingle key-derivation stage,
+    word-level so the oracle can reproduce it without xxhash64)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)), "
+            "i -> array_join(slice(split(text, ' '), i, 8), ' '))"
+        )).alias("shingle"))
+    return (sh.groupBy("source")
+            .agg(F.countDistinct("shingle").alias("n_distinct_shingles"),
+                 F.count(F.lit(1)).alias("n_shingles"))
+            .orderBy("source"))
+
+
+ORACLE_SHINGLE_STATS = """
+WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT source, array_to_string(w[i:i+7], ' ') AS shingle
+  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+)
+SELECT source,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM sh GROUP BY source ORDER BY source
+"""
+
+
+def q_shingle_key_dedup(spark, sf_dir):
+    """Exact dedup of 8-token shingle keys over the derived token table —
+    the dedup stage that precedes every build. Token ids and xxhash64 keys
+    are Spark-side only; the oracle checks the equivalent word-level count
+    (tokenization is an injective per-word mapping in expectation; verified
+    exactly at the word level)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)), "
+            "i -> array_join(slice(split(text, ' '), i, 8), ' '))"
+        )).alias("shingle"))
+    return sh.agg(F.countDistinct("shingle").alias("n_distinct_shingles"))
+
+
+ORACLE_SHINGLE_KEY_DEDUP = """
+WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT array_to_string(w[i:i+7], ' ') AS shingle
+  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+)
+SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("text").alias("n_distinct_texts"))
+            .orderBy("source"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via distributed inverted-index
+    self-join on 5-word shingles (100% recall, unlike LSH)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
+            "i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+        )).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (inter.join(sa, "doc_a").join(sb, "doc_b")
+             .where(F.col("inter") * 10 >=
+                    (F.col("na") + F.col("nb") - F.col("inter")) * 1))
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.sum("inter").cast("long").alias("sum_inter"))
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS sum_inter
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 10 >= (sa.n + sb.n - inter) * 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 permutations) from portable md5 word hashes —
+    the signature stage of MinHash-LSH dedup, oracle-checkable bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("word")).distinct()
+    aggs = [F.min(_md5long_spark(F.concat(F.col("word"), F.lit(f"#{i}")))
+                  ).alias(f"mh_{i}") for i in range(4)]
+    return w.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+_mh_cols = ", ".join(
+    "min({h}) AS mh_{i}".format(h=_md5long_sql("word || '#%d'" % i), i=i)
+    for i in range(4))
+ORACLE_MINHASH_SIGNATURES = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_mh_cols}
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash per document from md5 word-hash bits (sign of the
+    per-bit vote), portable across engines."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w = w.withColumn("h", _md5long_spark(F.col("word")))
+    votes = [
+        F.sum(F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(16)
+    ]
+    per_doc = w.groupBy("doc_id").agg(*votes)
+    sim = per_doc.select(
+        "doc_id",
+        sum((F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(16)).cast("long").alias("simhash16"))
+    return sim.orderBy("doc_id")
+
+
+_unnest_words = "unnest(string_split(text, ' '))"
+_simhash_votes = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(16))
+_simhash_sum = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+ORACLE_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id, {_md5long_sql(_unnest_words)} AS h
+  FROM documents
+),
+votes AS (SELECT doc_id, {_simhash_votes} FROM w GROUP BY doc_id)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST({_simhash_sum} AS BIGINT) AS simhash16
+FROM votes ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: min word-hash (1-permutation MinHash) — a
+    compact rolling identity for fast dedup bucketing."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (w.groupBy("doc_id")
+            .agg(F.min(_md5long_spark(F.col("word"))).alias("fp_min"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH w AS (
+  SELECT doc_id, {_md5long_sql("unnest(string_split(text, ' '))")} AS h
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, min(h) AS fp_min
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    per = docs.select(
+        "source",
+        F.length("text").alias("chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and"))
+               ).alias("n_stop"))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("chars").cast("long").alias("sum_chars"),
+                 F.sum("n_words").cast("long").alias("sum_words"),
+                 F.sum("n_stop").cast("long").alias("sum_stopwords"),
+                 F.round(F.sum("chars") / F.sum("n_words"), 4)
+                 .alias("avg_word_len"))
+            .orderBy("source"))
+
+
+ORACLE_TEXT_QUALITY = """
+WITH per AS (
+  SELECT source, length(text) AS chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
+       round(CAST(sum(chars) AS DOUBLE) / sum(n_words), 4) AS avg_word_len
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-family language-ID heuristic (deterministic), reported as a
+    (actual lang, predicted) confusion table."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ratio = (F.size(F.filter(words, lambda w: w.isin("the", "a"))) /
+             F.size(words))
+    pred = (F.when(ratio > 0.08, "en_like")
+            .when(ratio > 0.03, "mixed")
+            .otherwise("other"))
+    return (docs.select("lang", pred.alias("predicted"))
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "predicted"))
+
+
+ORACLE_LANG_ID = """
+WITH scored AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the', 'a'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS ratio
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN ratio > 0.08 THEN 'en_like'
+            WHEN ratio > 0.03 THEN 'mixed'
+            ELSE 'other' END AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex word/number pieces."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        F.size(F.split("text", " ")).alias("ws"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .alias("re"))
+    return per.agg(F.sum("ws").cast("long").alias("total_ws_tokens"),
+                   F.sum("re").cast("long").alias("total_regex_tokens"))
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+           AS total_regex_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 neighbors for the first 10 vectors —
+    the baseline ANN path (cross join + vectorized JVM expressions).
+    Similarities are rounded to 4dp before ranking; ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    cand = emb.select(F.col("vec_id").alias("nid"),
+                      F.col("embedding").alias("ne"))
+    dot = F.expr(_DOT.format(a="qe", b="ne"))
+    nq = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    nn = F.sqrt(F.expr(_DOT.format(a="ne", b="ne")))
+    pairs = (q.crossJoin(cand)
+             .where(F.col("qid") != F.col("nid"))
+             .select("qid", "nid", F.round(dot / (nq * nn), 4).alias("sim")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid", "nid", "rank")
+            .orderBy("qid", "rank"))
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT qid, e.vec_id AS nid,
+         round(list_cosine_similarity(qe, e.emb), 4) AS sim
+  FROM q, e WHERE qid != e.vec_id
+),
+ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup candidate pairs (threshold 0.30), grouped by
+    whether the labels agree — the embedding flavor of dedup."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+                   F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+                   F.col("label").alias("lb"))
+    dot = F.expr(_DOT.format(a="ea", b="eb"))
+    na = F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+    nb = F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    pairs = (a.crossJoin(b).where(F.col("ia") < F.col("ib"))
+             .select(F.round(dot / (na * nb), 4).alias("sim"),
+                     (F.col("la") == F.col("lb")).alias("same_label"))
+             .where(F.col("sim") >= 0.30))
+    return (pairs.groupBy("same_label")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("same_label"))
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+pairs AS (
+  SELECT round(list_cosine_similarity(a.emb, b.emb), 4) AS sim,
+         a.label = b.label AS same_label
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE sim >= 0.30 GROUP BY same_label ORDER BY same_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Events / windowed aggregation
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                       .alias("hour_epoch"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type", "hour_epoch"))
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Multimodal plumbing (binary payloads with typed metadata)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_bytes(spark, sf_dir):
+    """Treat document text as an opaque binary payload; aggregate byte sizes
+    per source. The decode/feature-extract stage itself is a mapInPandas stub
+    (see xorf_spark.operators.multimodal) — this query checks the schema/
+    partition plumbing that surrounds it."""
+    docs = load(spark, sf_dir, "documents")
+    bin_df = docs.select("source",
+                         F.encode(F.col("text"), "utf-8").alias("payload"))
+    return (bin_df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_payloads"),
+                 F.sum(F.octet_length("payload")).cast("long")
+                 .alias("total_bytes"))
+            .orderBy("source"))
+
+
+ORACLE_MULTIMODAL_BYTES = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_payloads,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Rows-only queries (not ANSI-SQL-expressible): build metrics & FPP
+# ---------------------------------------------------------------------------
+
+def q_build_metrics(spark, sf_dir):
+    """Per-shard build lineage for a bfuse8 over lineitem keys: retries,
+    peel rounds, duplicates — the north-star resumability/metrics surface.
+    Deterministic but not SQL-derivable (rows-only driver check)."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
+    shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=8)
+    return (shard_df.select("shard_id", "kind", "n_keys", "num_slots",
+                            "retries", "duplicates", "peel_rounds")
+            .orderBy("shard_id"))
+
+
+def q_fpp_measure(spark, sf_dir):
+    """Measured false-positive counts per variant on deterministic held-out
+    probes (the reference FPP test, src/bfuse8.rs:203-217, run distributed).
+    Deterministic; rows-only driver check (FPP itself is not SQL semantics).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
+    probes = (spark.range(1_000_000)
+              .select(F.xxhash64(F.col("id") + 77_000_000).alias("key")))
+    out = []
+    for kind in ("xor8", "bfuse8", "bfuse16"):
+        shard_df = D.build_filter_df(keys, kind=kind, n_shards=4)
+        table = D.FilterTable.from_df(shard_df, n_shards=4)
+        n_acc = table.where_member(probes, "key").count()
+        out.append((kind, 1_000_000, n_acc))
+    return spark.createDataFrame(
+        out, "kind string, n_probes bigint, n_accepted bigint")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def registry() -> dict[str, tuple]:
+    """name -> (query_fn, oracle_sql | None)"""
+    reg = {}
+    for kind, expand in _VARIANTS:
+        fn, sql = _zero_fn_query(kind, expand)
+        reg[f"{kind}_zero_fn"] = (fn, sql)
+    reg.update({
+        "bfuse8_semijoin": (q_bfuse8_semijoin, ORACLE_BFUSE8_SEMIJOIN),
+        "bfuse16_antijoin": (q_bfuse16_antijoin, ORACLE_BFUSE16_ANTIJOIN),
+        "xor16_semijoin_part": (q_xor16_semijoin_part, ORACLE_XOR16_SEMIJOIN_PART),
+        "filter_dedup_stream": (q_filter_dedup_stream, ORACLE_FILTER_DEDUP_STREAM),
+        "token_table": (q_token_table, ORACLE_TOKEN_TABLE),
+        "shingle_stats": (q_shingle_stats, ORACLE_SHINGLE_STATS),
+        "shingle_key_dedup": (q_shingle_key_dedup, ORACLE_SHINGLE_KEY_DEDUP),
+        "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+        "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
+        "simhash": (q_simhash, ORACLE_SIMHASH),
+        "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+        "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+        "lang_id": (q_lang_id, ORACLE_LANG_ID),
+        "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+        "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+        "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+        "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+        "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+        "build_metrics": (q_build_metrics, None),
+        "fpp_measure": (q_fpp_measure, None),
+    })
+    return reg
