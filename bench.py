@@ -1,0 +1,130 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "queries": {...}, "sf": ...}
+
+Headline numbers (BASELINE.md target):
+- bfuse8/xor8 distributed build throughput (keys/sec) over 64M distinct keys
+- broadcast-probe throughput (lookups/sec) over 64M probes
+- flagship filter-semi-join + token-pipeline (shingle → dedup → build) at
+  $SPARK_GRAFT_SF_DIR
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     XORF_BENCH_KEYS (default 64_000_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_keys = int(os.environ.get("XORF_BENCH_KEYS", str(64_000_000)))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from xorf_spark import dataflow as D
+    from xorf_spark import queries as Q
+    from xorf_spark.sources import docs_tokens
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("xorf-bench")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm up the python workers / JIT once (not measured)
+    spark.range(1000).select(F.xxhash64("id")).count()
+
+    # --- distributed build throughput (the metric) --------------------------
+    n_shards = 64
+    keys = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
+
+    t0 = time.time()
+    shard_bf = D.build_filter_df(keys, kind="bfuse8", n_shards=n_shards,
+                                 dedup=True).cache()
+    total_keys = shard_bf.agg(F.sum("n_keys")).collect()[0][0]
+    timings["build_bfuse8"] = round(time.time() - t0, 3)
+    bfuse_build_rate = total_keys / timings["build_bfuse8"]
+
+    t0 = time.time()
+    shard_xor = D.build_filter_df(keys, kind="xor8", n_shards=n_shards,
+                                  dedup=True)
+    xor_keys = shard_xor.agg(F.sum("n_keys")).collect()[0][0]
+    timings["build_xor8"] = round(time.time() - t0, 3)
+    xor_build_rate = xor_keys / timings["build_xor8"]
+
+    # --- probe throughput ----------------------------------------------------
+    table = D.FilterTable.from_df(shard_bf, n_shards=n_shards)
+    probes = spark.range(n_keys).select(
+        F.xxhash64(F.col("id") + 999_000_000).alias("key"))
+    t0 = time.time()
+    n_acc = table.where_member(probes, "key").count()
+    timings["probe_bfuse8"] = round(time.time() - t0, 3)
+    probe_rate = n_keys / timings["probe_bfuse8"]
+    fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
+    shard_bf.unpersist()
+
+    # --- sf-table queries ----------------------------------------------------
+    timed("flagship_semijoin",
+          lambda: Q.q_bfuse8_semijoin(spark, sf_dir).collect())
+    timed("ngram_jaccard_pairs",
+          lambda: Q.q_ngram_jaccard_pairs(spark, sf_dir).collect())
+    timed("ann_cosine_topk",
+          lambda: Q.q_ann_cosine_topk(spark, sf_dir).collect())
+
+    # token pipeline end-to-end: synthesize 100k docs → 8-token shingle keys →
+    # exact dedup → sharded bfuse8 build
+    def token_pipeline():
+        tok = docs_tokens(spark, 100_000, partitions=64)
+        sk = D.shingle_keys(tok, k=8).select("key")
+        shard = D.build_filter_df(sk, kind="bfuse8", n_shards=n_shards)
+        return shard.agg(F.sum("n_keys")).collect()[0][0]
+
+    shingle_keys_built = timed("token_pipeline_100k_docs", token_pipeline)
+    shingle_rate = shingle_keys_built / timings["token_pipeline_100k_docs"]
+
+    print(json.dumps({
+        "metric": "bfuse8_build_keys_per_sec",
+        "value": round(bfuse_build_rate),
+        "unit": "keys/sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_keys": int(total_keys),
+        "queries": timings,
+        "derived": {
+            "xor8_build_keys_per_sec": round(xor_build_rate),
+            "bfuse8_probe_lookups_per_sec": round(probe_rate),
+            "bfuse8_measured_fpp": fpp,
+            "token_pipeline_shingle_keys_per_sec": round(shingle_rate),
+            "token_pipeline_distinct_shingles": int(shingle_keys_built),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

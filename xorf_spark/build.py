@@ -31,15 +31,12 @@ from . import kernels as K
 _FP_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32}
 
 
-def _sub_counts(counts: np.ndarray, idx: np.ndarray) -> None:
-    """counts[idx] -= 1 with duplicate accumulation; picks bincount for huge
-    batches, ufunc.at for small ones (avoids O(capacity) work per peel round)."""
-    if idx.size == 0:
-        return
-    if idx.size * 8 > counts.size:
-        counts -= np.bincount(idx, minlength=counts.size)
-    else:
-        np.subtract.at(counts, idx, 1)
+def _count3(capacity: int, j0: np.ndarray, j1: np.ndarray, j2: np.ndarray
+            ) -> np.ndarray:
+    c = np.bincount(j0, minlength=capacity)
+    c += np.bincount(j1, minlength=capacity)
+    c += np.bincount(j2, minlength=capacity)
+    return c
 
 
 def _peel(counts: np.ndarray, hxor: np.ndarray, idx3_fn, n: int,
@@ -67,16 +64,16 @@ def _peel(counts: np.ndarray, hxor: np.ndarray, idx3_fn, n: int,
         rounds.append((uh, sel, fnd))
         total += int(uh.size)
         j0, j1, j2 = idx3_fn(uh)
-        jall = np.concatenate((j0, j1, j2)).astype(np.int64, copy=False)
-        _sub_counts(counts, jall)
-        K.scatter_xor(hxor, jall, np.tile(uh, 3))
+        np.subtract.at(counts, j0, 1)
+        np.subtract.at(counts, j1, 1)
+        np.subtract.at(counts, j2, 1)
+        np.bitwise_xor.at(hxor, j0, uh)
+        np.bitwise_xor.at(hxor, j1, uh)
+        np.bitwise_xor.at(hxor, j2, uh)
         if posxor is not None:
-            rcodes = np.concatenate((
-                np.full(uh.size, 1, dtype=np.uint8),
-                np.full(uh.size, 2, dtype=np.uint8)))
-            K.scatter_xor(posxor, np.concatenate((j1, j2)).astype(np.int64, copy=False),
-                          rcodes)
-        cand = np.unique(jall)
+            np.bitwise_xor.at(posxor, j1, np.uint8(1))
+            np.bitwise_xor.at(posxor, j2, np.uint8(2))
+        cand = np.unique(np.concatenate((j0, j1, j2)))
         frontier = cand[counts[cand] == 1]
     return rounds, total
 
@@ -128,10 +125,11 @@ def build_xor(keys: np.ndarray, fp_bits: int = 8, max_iter: int | None = None,
     while True:
         hashes = K.mix(keys, seed)
         g0, g1, g2 = K.xor_h012(hashes, bl)
-        gall = np.concatenate((g0, g1, g2))
-        counts = np.bincount(gall.astype(np.int64, copy=False), minlength=capacity)
+        counts = _count3(capacity, g0, g1, g2)
         masks = np.zeros(capacity, dtype=np.uint64)
-        K.scatter_xor(masks, gall, np.tile(hashes, 3))
+        np.bitwise_xor.at(masks, g0, hashes)
+        np.bitwise_xor.at(masks, g1, hashes)
+        np.bitwise_xor.at(masks, g2, hashes)
 
         rounds, total = _peel(counts, masks, lambda uh: K.xor_h012(uh, bl), n)
         if total == n:
@@ -206,8 +204,7 @@ def build_binary_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
     for _ in range(max_iter):
         hashes = K.mix(ukeys, seed)
         i0, i1, i2 = K.bfuse_hash_of_hash(hashes, sl, slm, scl)
-        iall = np.concatenate((i0, i1, i2)).astype(np.int64, copy=False)
-        counts = np.bincount(iall, minlength=array_len)
+        counts = _count3(array_len, i0, i1, i2)
         if counts.size and counts.max(initial=0) >= 64:
             # Mirrors the packed-u8 counter overflow error branch
             # (reference src/prelude/bfuse.rs:218-221): retry with a new seed.
@@ -215,14 +212,15 @@ def build_binary_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
             rng_state, seed = K.splitmix64(rng_state)
             continue
         hxor = np.zeros(array_len, dtype=np.uint64)
-        K.scatter_xor(hxor, iall, np.tile(hashes, 3))
+        np.bitwise_xor.at(hxor, i0, hashes)
+        np.bitwise_xor.at(hxor, i1, hashes)
+        np.bitwise_xor.at(hxor, i2, hashes)
         # posxor = xor of position codes (0 for h0, 1 for h1, 2 for h2) of all
         # keys in the slot; equals the lone key's code when count==1
         # (packed t2count low bits in the reference, src/prelude/bfuse.rs:190-215).
         posxor = np.zeros(array_len, dtype=np.uint8)
-        codes = np.concatenate((
-            np.full(n, 1, dtype=np.uint8), np.full(n, 2, dtype=np.uint8)))
-        K.scatter_xor(posxor, np.concatenate((i1, i2)).astype(np.int64, copy=False), codes)
+        np.bitwise_xor.at(posxor, i1, np.uint8(1))
+        np.bitwise_xor.at(posxor, i2, np.uint8(2))
 
         rounds, total = _peel(
             counts, hxor, lambda uh: K.bfuse_hash_of_hash(uh, sl, slm, scl),
@@ -302,10 +300,11 @@ def build_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
     for _ in range(max_iter):
         hashes = K.mix(keys, seed)
         g0, g1, g2 = K.fuse_h012(hashes, sl)
-        gall = np.concatenate((g0, g1, g2)).astype(np.int64, copy=False)
-        counts = np.bincount(gall, minlength=capacity)
+        counts = _count3(capacity, g0, g1, g2)
         masks = np.zeros(capacity, dtype=np.uint64)
-        K.scatter_xor(masks, gall, np.tile(hashes, 3))
+        np.bitwise_xor.at(masks, g0, hashes)
+        np.bitwise_xor.at(masks, g1, hashes)
+        np.bitwise_xor.at(masks, g2, hashes)
 
         rounds, total = _peel(counts, masks, lambda uh: K.fuse_h012(uh, sl), n)
         if total == n:

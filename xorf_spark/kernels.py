@@ -29,6 +29,7 @@ U64 = np.uint64
 U32 = np.uint32
 MASK64 = (1 << 64) - 1
 
+
 # murmur3 finalizer multipliers (reference src/murmur3.rs:32-34)
 _M1 = U64(0xFF51AFD7ED558CCD)
 _M2 = U64(0xC4CEB9FE1A85EC53)
@@ -108,12 +109,16 @@ def xor_h(h: np.ndarray, i: int, block_length: int) -> np.ndarray:
 
 def xor_h012(h: np.ndarray, block_length: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Global (3-block concatenated) slot indices for the xor family
-    (reference src/prelude/xor.rs:4-16, block offsets per src/prelude/xor.rs:41-47)."""
+    (reference src/prelude/xor.rs:4-16, block offsets per src/prelude/xor.rs:41-47).
+
+    Returns int64 views (indices < 3*block_length < 2**63) — zero-copy and
+    faster for fancy indexing than uint64.
+    """
     bl = U64(block_length)
     g0 = xor_h(h, 0, block_length)
     g1 = xor_h(h, 1, block_length) + bl
     g2 = xor_h(h, 2, block_length) + bl + bl
-    return g0, g1, g2
+    return g0.view(np.int64), g1.view(np.int64), g2.view(np.int64)
 
 
 def fuse_h012(h: np.ndarray, segment_length: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -130,7 +135,7 @@ def fuse_h012(h: np.ndarray, segment_length: int) -> tuple[np.ndarray, np.ndarra
     g0 = seg * sl + reduce32(r1, segment_length)
     g1 = (seg + U64(1)) * sl + reduce32(r2, segment_length)
     g2 = (seg + U64(2)) * sl + reduce32(r3, segment_length)
-    return g0, g1, g2
+    return g0.view(np.int64), g1.view(np.int64), g2.view(np.int64)
 
 
 def bfuse_hash_of_hash(
@@ -148,13 +153,21 @@ def bfuse_hash_of_hash(
     a = h >> U64(32)
     b = h & U64(0xFFFFFFFF)
     with np.errstate(over="ignore"):
-        t = a * scl + ((b * scl) >> U64(32))
-    h0 = t >> U64(32)  # == full (h*scl)>>64, always < scl ≤ 2^32
-    sl = U64(segment_length)
-    mask = U64(segment_length_mask)
-    h1 = (h0 + sl) ^ ((h >> U64(18)) & mask)
-    h2 = (h0 + sl + sl) ^ (h & mask)
-    return h0, h1, h2
+        a *= scl
+        b *= scl
+        b >>= U64(32)
+        a += b
+        h0 = a
+        h0 >>= U64(32)  # == full (h*scl)>>64, always < scl ≤ 2^32
+        sl = U64(segment_length)
+        mask = U64(segment_length_mask)
+        t1 = h0 + sl
+        t2 = t1 + sl
+        h1 = t1
+        h1 ^= (h >> U64(18)) & mask
+        h2 = t2
+        h2 ^= h & mask
+    return h0.view(np.int64), h1.view(np.int64), h2.view(np.int64)
 
 
 def bfuse_segment_length(arity: int, size: int) -> int:
