@@ -1,0 +1,242 @@
+"""Tests for the training-data pipeline operators (dedup, similarity, text,
+multimodal) and the streaming membership filter."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xorf_spark import dataflow as D
+from xorf_spark.operators import dedup, multimodal, similarity, text
+from xorf_spark.sources import docs_tokens, tokens_from_documents
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    df = docs_tokens(spark, 2_000).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# --- dedup ----------------------------------------------------------------
+
+def test_exact_dedup(spark, token_df):
+    dup = token_df.unionByName(token_df.limit(100))  # inject exact dupes
+    out = dedup.exact_dedup(dup.withColumn("doc_id", F.col("doc_id")),
+                            cols="tokens")
+    assert out.count() == token_df.select("tokens").distinct().count()
+
+
+def test_minhash_signature_properties(spark, token_df):
+    sigs = dedup.minhash_signatures(token_df, num_perm=16, shingle=3)
+    row = sigs.select("doc_id", "minhash").first()
+    assert len(row["minhash"]) == 16
+    # identical docs get identical signatures
+    twin = token_df.limit(50)
+    s1 = dedup.minhash_signatures(twin, num_perm=16, shingle=3) \
+        .select("doc_id", "minhash")
+    s2 = dedup.minhash_signatures(twin, num_perm=16, shingle=3) \
+        .select("doc_id", F.col("minhash").alias("m2"))
+    joined = s1.join(s2, "doc_id")
+    assert joined.where(F.col("minhash") != F.col("m2")).count() == 0
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, token_df):
+    """Plant near-duplicates (append 1 token to an existing doc) and check
+    LSH+verify recovers them."""
+    base = token_df.limit(20)
+    mutated = base.select(
+        F.concat(F.col("doc_id"), F.lit("-dup")).alias("doc_id"),
+        F.concat(F.col("tokens"), F.array(F.lit(999))).alias("tokens"),
+        (F.col("n_tok") + 1).alias("n_tok"), "source")
+    planted = token_df.unionByName(mutated)
+    out = dedup.minhash_dedup(planted, threshold=0.7, num_perm=32, bands=16)
+    # every planted near-dup pair loses exactly its higher id (the "-dup" one)
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    originals = {r["doc_id"] for r in base.select("doc_id").collect()}
+    recovered = sum(1 for d in originals if d + "-dup" not in kept_ids)
+    assert recovered >= 18  # LSH recall at jaccard≈0.99 with 16 bands ~ 1.0
+    assert originals <= kept_ids  # originals (smaller ids) always survive
+
+
+def test_simhash64_and_candidates(spark, token_df):
+    sim = dedup.simhash64(token_df.limit(200))
+    vals = [r["simhash"] for r in sim.select("simhash").collect()]
+    assert len(set(vals)) > 150  # distinct docs → mostly distinct simhashes
+    # identical rows → identical simhash and hamming 0 candidates
+    twin = sim.limit(5).select(
+        F.concat(F.col("doc_id"), F.lit("-t")).alias("doc_id"), "simhash")
+    both = sim.select("doc_id", "simhash").unionByName(twin)
+    cands = dedup.simhash_candidates(both, max_hamming=0)
+    found = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    for r in twin.collect():
+        orig = r["doc_id"][:-2]
+        assert (orig, r["doc_id"]) in found or (r["doc_id"], orig) in found
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    qs = emb_df.where(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(emb_df, qs, k=5).collect()
+    # numpy oracle
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        qv = M[ids == qid][0]
+        sims = M @ qv
+        order = np.lexsort((ids, -sims))
+        want = [int(ids[i]) for i in order if ids[i] != qid][:5]
+        have = [r["nid"] for r in sorted(
+            (x for x in got if x["qid"] == qid), key=lambda x: x["rank"])]
+        assert have == want
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, emb_df):
+    """Random-hyperplane LSH recalls *near* neighbors (small angle), which is
+    its actual contract — top-k of uniformly random vectors (cosine ≈ 0.3-0.5,
+    angle ≈ 60-70°) is the brute-force path's job. Plant ε-perturbed copies
+    as queries and require their originals back."""
+    rows = emb_df.limit(20).collect()
+    rng = np.random.default_rng(3)
+    planted = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v + rng.standard_normal(v.size) * 0.02 * np.linalg.norm(v) / np.sqrt(v.size)
+        planted.append(Row(vec_id=int(r["vec_id"]) + 50_000,
+                           embedding=[float(x) for x in v], label=r["label"]))
+    qs = spark.createDataFrame(planted, emb_df.schema)
+    approx = similarity.lsh_topk(emb_df, qs, k=3, n_planes=10, n_tables=6)
+    got = approx.collect()
+    hit = sum(1 for r in got
+              if r["rank"] == 1 and r["nid"] == r["qid"] - 50_000)
+    assert hit >= 16, f"LSH recovered only {hit}/20 planted neighbors"
+    assert all(r["rank"] <= 3 for r in got)
+
+
+def test_embedding_neardup_pairs_verified(spark, emb_df):
+    # plant an exact duplicate vector → cosine 1.0 must be found
+    dup = emb_df.limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    planted = emb_df.unionByName(dup)
+    pairs = similarity.embedding_neardup_pairs(planted, threshold=0.999)
+    got = pairs.collect()
+    assert any(r["id_b"] == 10_000 + 0 or r["id_a"] == 0 for r in got)
+    assert all(r["cosine"] >= 0.999 for r in got)
+
+
+# --- text -------------------------------------------------------------------
+
+def test_language_id_deterministic(spark, docs_df):
+    out = text.language_id(docs_df)
+    assert out.where(F.col("lang_pred").isNull()).count() == 0
+    # heuristic must at least fire on stopword-bearing docs
+    assert out.where(F.col("lang_pred") != "und").count() > 0
+
+
+def test_quality_score_bounds(spark, docs_df):
+    out = text.quality_score(docs_df)
+    bad = out.where((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+    assert out.select(F.countDistinct("quality")).first()[0] > 1
+
+
+def test_token_counts(spark, docs_df):
+    out = text.token_counts(docs_df)
+    row = out.select(F.min("n_ws_tokens"), F.max("n_bpe_ish_tokens")).first()
+    assert row[0] >= 1 and row[1] >= 1
+
+
+def test_doc_fingerprint_identity(spark, docs_df):
+    fp = text.doc_fingerprint(docs_df)
+    a = fp.select("doc_id", "fingerprint")
+    b = text.doc_fingerprint(docs_df).select(
+        "doc_id", F.col("fingerprint").alias("fp2"))
+    assert a.join(b, "doc_id").where(
+        F.col("fingerprint") != F.col("fp2")).count() == 0
+
+
+# --- multimodal ---------------------------------------------------------------
+
+def test_multimodal_feature_plumbing(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    assert [f.name for f in media.schema.fields] == \
+        ["media_id", "kind", "payload", "meta"]
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs_df.count()
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["features"]
+             for r in multimodal.extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_multimodal_real_decode_is_marked(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df)
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)
+
+
+def test_frame_sample_stub(spark, docs_df):
+    media = multimodal.media_from_documents(docs_df.limit(10), kind="video")
+    frames = multimodal.frame_sample(media, every_n=7)
+    rows = frames.collect()
+    assert len(rows) >= 10
+    assert all(r["frame_idx"] % 7 == 0 for r in rows)
+
+
+# --- streaming ---------------------------------------------------------------
+
+def test_streaming_membership(spark, token_df, tmp_path):
+    """Structured Streaming probe: build filter from history, filter a stream
+    (file source → memory sink)."""
+    from xorf_spark.streaming import stream_dedup_filter, stream_membership
+
+    hist = D.doc_keys(token_df).select("key")
+    table = D.FilterTable.from_df(
+        D.build_filter_df(hist, kind="bfuse8", n_shards=4), n_shards=4)
+
+    # stream input: half historical keys, half fresh
+    fresh = spark.range(500).select(
+        F.xxhash64(F.col("id") + 123_456_789).alias("key"))
+    stream_src = str(tmp_path / "stream_in")
+    hist.limit(500).unionByName(fresh).write.parquet(stream_src)
+
+    stream = (spark.readStream.schema("key long").parquet(stream_src))
+    annotated = stream_membership(stream, table, "key")
+    q = (annotated.writeStream.format("memory")
+         .queryName("members").outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from members").collect()
+    assert len(out) == 1000
+    # zero FN on the historical half
+    hist_keys = {r["key"] for r in hist.limit(500).collect()}
+    for r in out:
+        if r["key"] in hist_keys:
+            assert r["member"]
+
+    deduped = stream_dedup_filter(
+        (spark.readStream.schema("key long").parquet(stream_src)), table, "key")
+    q2 = (deduped.writeStream.format("memory")
+          .queryName("deduped").outputMode("append").start())
+    q2.processAllAvailable()
+    q2.stop()
+    survivors = {r["key"] for r in spark.sql("select * from deduped").collect()}
+    assert not (survivors & hist_keys)  # no historical key survives

@@ -39,6 +39,22 @@ def _count3(capacity: int, j0: np.ndarray, j1: np.ndarray, j2: np.ndarray
     return c
 
 
+def _sort_by_low32(h: np.ndarray) -> np.ndarray:
+    """Order hashes by their low 32 bits — the block/segment selector for the
+    xor (src/prelude/xor.rs:21-28) and fuse (src/prelude/fuse.rs:29-33)
+    families — so population scatters walk the arrays near-sequentially.
+
+    This is the vectorized analog of the reference's counting-sort of keys by
+    segment (src/prelude/bfuse.rs:170-182): same cache-locality trick, and it
+    changes nothing semantically (peeling is set-based).
+    Implemented as rotl(h,32) → sort → rotl(h,32): one cheap bijection makes
+    the low 32 bits the primary sort key.
+    """
+    h = K.rotl64(h, 32)
+    h.sort()
+    return K.rotl64(h, 32)
+
+
 def _peel(counts: np.ndarray, hxor: np.ndarray, idx3_fn, n: int,
           posxor: np.ndarray | None = None):
     """Frontier-based vectorized peel of the 3-uniform hypergraph.
@@ -123,7 +139,7 @@ def build_xor(keys: np.ndarray, fp_bits: int = 8, max_iter: int | None = None,
     rng_state, seed = K.splitmix64(rng_state)
     retries = 0
     while True:
-        hashes = K.mix(keys, seed)
+        hashes = _sort_by_low32(K.mix(keys, seed))
         g0, g1, g2 = K.xor_h012(hashes, bl)
         counts = _count3(capacity, g0, g1, g2)
         masks = np.zeros(capacity, dtype=np.uint64)
@@ -186,10 +202,10 @@ def build_binary_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
     resumability (documented deviation).
     """
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
-    ukeys = np.unique(keys)
-    duplicates = int(keys.size - ukeys.size)
-    n = int(ukeys.size)
-    layout = K.bfuse_layout(n)
+    n_total = int(keys.size)
+    # Sizing uses the raw count including duplicates, exactly like the
+    # reference (`size = keys.len()`, src/prelude/bfuse.rs:113).
+    layout = K.bfuse_layout(n_total)
     sl = layout["segment_length"]
     slm = layout["segment_length_mask"]
     scl = layout["segment_count_length"]
@@ -201,8 +217,23 @@ def build_binary_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
     retries = 0
     rounds: list[tuple[np.ndarray, np.ndarray]] = []
     done = False
+    duplicates = 0
+    n = n_total
     for _ in range(max_iter):
-        hashes = K.mix(ukeys, seed)
+        # Sorting the hashes is the vectorized analog of the reference's
+        # counting-sort by segment (src/prelude/bfuse.rs:170-182): h0 is a
+        # monotone multiply-shift of the hash, so sorted hashes scatter
+        # near-sequentially into the construction arrays (cache-local), and
+        # duplicate hashes (duplicate keys, or astronomically-rare mix
+        # collisions) become adjacent — dropping them reproduces the
+        # reference's detect-and-drop path (src/prelude/bfuse.rs:200-215).
+        hashes = np.sort(K.mix(keys, seed))
+        if n_total and hashes.size:
+            dup_mask = hashes[1:] == hashes[:-1]
+            if dup_mask.any():
+                hashes = hashes[np.concatenate(([True], ~dup_mask))]
+        duplicates = n_total - int(hashes.size)
+        n = int(hashes.size)
         i0, i1, i2 = K.bfuse_hash_of_hash(hashes, sl, slm, scl)
         counts = _count3(array_len, i0, i1, i2)
         if counts.size and counts.max(initial=0) >= 64:
@@ -298,7 +329,7 @@ def build_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
     rounds: list[tuple[np.ndarray, np.ndarray]] = []
     done = False
     for _ in range(max_iter):
-        hashes = K.mix(keys, seed)
+        hashes = _sort_by_low32(K.mix(keys, seed))
         g0, g1, g2 = K.fuse_h012(hashes, sl)
         counts = _count3(capacity, g0, g1, g2)
         masks = np.zeros(capacity, dtype=np.uint64)

@@ -28,6 +28,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -130,69 +131,118 @@ def pick_n_shards(n_keys: int,
 # Distributed build
 # ---------------------------------------------------------------------------
 
+def _build_shard_row(kind: str, fp_bits: int, shard_id: int, keys: np.ndarray,
+                     uniform_random: bool, t0: float) -> dict:
+    if kind.startswith("xor"):
+        r = B.build_xor(np.unique(keys), fp_bits, check_distinct=False)
+    elif kind.startswith("bfuse"):
+        # per-shard deterministic fp-init seed for resumability
+        r = B.build_binary_fuse(keys, fp_bits, uniform_random=uniform_random,
+                                fp_seed=0xC0FFEE ^ shard_id)
+    elif kind.startswith("fuse"):
+        r = B.build_fuse(np.unique(keys), fp_bits, check_distinct=False,
+                         uniform_random=uniform_random,
+                         fp_seed=0xC0FFEE ^ shard_id)
+    else:
+        raise ValueError(f"unknown filter kind {kind}")
+    p = r.params
+    return {
+        "shard_id": shard_id,
+        "kind": kind,
+        "seed": int(np.uint64(r.seed & MASK64).view(np.int64)),
+        "block_length": p.get("block_length"),
+        "segment_length": p.get("segment_length"),
+        "segment_length_mask": p.get("segment_length_mask"),
+        "segment_count_length": p.get("segment_count_length"),
+        "fingerprints": r.fingerprints.astype(
+            _FP_DTYPES[fp_bits], copy=False).tobytes(),
+        "n_keys": r.metrics["n_keys"],
+        "num_slots": r.num_slots,
+        "retries": r.metrics["retries"],
+        "duplicates": r.metrics["duplicates"],
+        "peel_rounds": r.metrics["rounds"],
+        "build_secs": time.time() - t0,
+    }
+
+
+def _build_shard_arrow_fn(kind: str, uniform_random: bool = True):
+    """groupBy().applyInArrow kernel: pyarrow → numpy is zero-copy for the
+    int64 key column (no pandas materialization — that conversion costs more
+    than the construction itself at 64M-key scale)."""
+    fp_bits = _fp_bits(kind)
+
+    def build_shard(table: pa.Table) -> pa.Table:
+        t0 = time.time()
+        col = table.column("key")
+        keys = col.combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        shard_id = int(table.column("shard_id")[0].as_py()) if table.num_rows else 0
+        row = _build_shard_row(kind, fp_bits, shard_id, keys, uniform_random, t0)
+        arrays, names = [], []
+        for field in SHARD_SCHEMA.fields:
+            names.append(field.name)
+            arrays.append([row[field.name]])
+        return pa.table(dict(zip(names, arrays)), schema=pa.schema([
+            ("shard_id", pa.int32()), ("kind", pa.string()),
+            ("seed", pa.int64()), ("block_length", pa.int64()),
+            ("segment_length", pa.int64()), ("segment_length_mask", pa.int64()),
+            ("segment_count_length", pa.int64()), ("fingerprints", pa.binary()),
+            ("n_keys", pa.int64()), ("num_slots", pa.int64()),
+            ("retries", pa.int32()), ("duplicates", pa.int64()),
+            ("peel_rounds", pa.int32()), ("build_secs", pa.float64()),
+        ]))
+
+    return build_shard
+
+
 def _build_shard_fn(kind: str, uniform_random: bool = True):
+    """applyInPandas fallback for Spark < 4 (pandas group materialization)."""
     fp_bits = _fp_bits(kind)
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         shard_id = int(pdf["shard_id"].iloc[0]) if len(pdf) else 0
         keys = pdf["key"].to_numpy(np.int64).view(np.uint64)
-        if kind.startswith("xor"):
-            r = B.build_xor(np.unique(keys), fp_bits, check_distinct=False)
-        elif kind.startswith("bfuse"):
-            # per-shard deterministic fp-init seed for resumability
-            r = B.build_binary_fuse(keys, fp_bits, uniform_random=uniform_random,
-                                    fp_seed=0xC0FFEE ^ shard_id)
-        elif kind.startswith("fuse"):
-            r = B.build_fuse(np.unique(keys), fp_bits, check_distinct=False,
-                             uniform_random=uniform_random,
-                             fp_seed=0xC0FFEE ^ shard_id)
-        else:
-            raise ValueError(f"unknown filter kind {kind}")
-        p = r.params
-        row = {
-            "shard_id": shard_id,
-            "kind": kind,
-            "seed": np.int64(np.uint64(r.seed & MASK64)),
-            "block_length": p.get("block_length"),
-            "segment_length": p.get("segment_length"),
-            "segment_length_mask": p.get("segment_length_mask"),
-            "segment_count_length": p.get("segment_count_length"),
-            "fingerprints": r.fingerprints.astype(
-                _FP_DTYPES[fp_bits], copy=False).tobytes(),
-            "n_keys": r.metrics["n_keys"],
-            "num_slots": r.num_slots,
-            "retries": r.metrics["retries"],
-            "duplicates": r.metrics["duplicates"],
-            "peel_rounds": r.metrics["rounds"],
-            "build_secs": time.time() - t0,
-        }
-        return pd.DataFrame([row])
+        return pd.DataFrame(
+            [_build_shard_row(kind, fp_bits, shard_id, keys, uniform_random, t0)])
 
     return build_shard
 
 
 def build_filter_df(keys_df: DataFrame, kind: str = "bfuse8",
                     n_shards: int | None = None, key_col: str = "key",
-                    dedup: bool = True,
+                    dedup: bool = False,
                     target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD,
                     uniform_random: bool = True) -> DataFrame:
     """Lazy shard-table DataFrame for a distributed filter build.
 
-    ``keys_df`` is any DataFrame with a LongType ``key_col``. The plan is:
-    project → distinct (shuffle #1, with map-side partial agg) → shard by key
-    prefix → groupBy(shard).applyInPandas(numpy kernel) (shuffle #2, on the
-    uniform hashed key so it cannot skew).
+    ``keys_df`` is any DataFrame with a LongType ``key_col``. The plan is a
+    SINGLE shuffle: project → repartition by hash-prefix shard id (explicit
+    numPartitions, so AQE cannot coalesce the build stage) →
+    groupBy(shard).applyInPandas(numpy kernel).
+
+    Exact dedup (the reference precondition, src/lib.rs:42-44) is folded into
+    the per-shard kernel: duplicate keys hash to the same prefix, so
+    per-shard ``np.unique`` equals a global ``distinct()`` — no dedup shuffle.
+    Pass ``dedup=True`` only for extremely duplicate-heavy inputs (e.g. n-gram
+    shingles), where ``distinct()``'s map-side partial aggregate shrinks the
+    shuffle more than the extra exchange costs.
+
+    The shuffle key is the *hashed* key prefix — uniform by construction —
+    so source/doc-length skew in the input cannot unbalance the build.
     """
     keys = keys_df.select(F.col(key_col).alias("key"))
     if dedup:
         keys = keys.distinct()
     if n_shards is None:
         n_shards = pick_n_shards(keys.count(), target_keys_per_shard)
-    sharded = keys.withColumn("shard_id", shard_id_col("key", n_shards))
-    return (sharded
-            .groupBy("shard_id")
-            .applyInPandas(_build_shard_fn(kind, uniform_random), SHARD_SCHEMA))
+    sharded = (keys.withColumn("shard_id", shard_id_col("key", n_shards))
+               .repartition(n_shards, "shard_id"))
+    grouped = sharded.groupBy("shard_id")
+    if hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(
+            _build_shard_arrow_fn(kind, uniform_random), SHARD_SCHEMA)
+    return grouped.applyInPandas(
+        _build_shard_fn(kind, uniform_random), SHARD_SCHEMA)
 
 
 def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",

@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are Catalyst expressions (JVM, whole-stage codegen) — the
+MinHash signature is computed per-row with array lambdas (no explode, no
+shuffle); only the LSH bucket join and the verification join shuffle, and
+both shuffle on uniformly-hashed keys.
+
+Scale notes (100 TB):
+- exact_dedup shuffles one 8-byte hash per row (map-side partial agg);
+- minhash_lsh candidates shuffle (band_id, band_hash) pairs — band buckets of
+  heavy-duplicate clusters can skew, so the bucket join caps bucket size
+  (``max_bucket``) the way production near-dup pipelines do;
+- verification re-checks candidates with exact jaccard over shingle sets, so
+  LSH recall/precision only affects *cost*, never correctness of the verified
+  output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | str,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (the min ``id_col``) per distinct value of
+    ``cols`` — hash-groupBy exact dedup."""
+    if isinstance(cols, str):
+        cols = [cols]
+    key = F.xxhash64(*[F.col(c) for c in cols])
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def minhash_signatures(df: DataFrame, tokens_col: str = "tokens",
+                       num_perm: int = 64, shingle: int = 3,
+                       out_col: str = "minhash") -> DataFrame:
+    """Per-row MinHash signature over ``shingle``-gram shingles of an array
+    column, entirely as Catalyst array lambdas (no explode, no shuffle):
+    sig[i] = min over shingles s of xxhash64(s, i).
+    """
+    shingles = (f"transform(sequence(1, greatest(size({tokens_col}) - "
+                f"{shingle} + 1, 0)), j -> slice({tokens_col}, j, {shingle}))")
+    sig = (f"transform(sequence(0, {num_perm - 1}), "
+           f"i -> array_min(transform({shingles}, s -> xxhash64(s, i))))")
+    return df.withColumn(out_col, F.expr(sig))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        sig_col: str = "minhash", bands: int = 16,
+                        max_bucket: int = 64) -> DataFrame:
+    """MinHash-LSH candidate pairs: split the signature into ``bands`` bands,
+    hash each band, self-join docs sharing a band bucket.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate clusters) to bound
+    the quadratic bucket join — standard skew control for near-dup mining at
+    scale; dropped buckets are all-duplicates clusters better handled by
+    exact dedup upstream.
+    """
+    n_rows = F.size(F.col(sig_col)) / bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"xxhash64(slice({sig_col}, b * (size({sig_col}) div {bands}) + 1, "
+            f"size({sig_col}) div {bands}), b))"))
+        .alias("band_id", "band_hash"))
+    sizes = (banded.groupBy("band_id", "band_hash")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n").between(2, max_bucket)))
+    small = banded.join(sizes.select("band_id", "band_hash"),
+                        ["band_id", "band_hash"])
+    a = small.alias("a")
+    b = small.alias("b")
+    return (a.join(b, ["band_id", "band_hash"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def estimate_jaccard(sig_df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", sig_col: str = "minhash"
+                     ) -> DataFrame:
+    """MinHash jaccard estimate for candidate pairs = fraction of equal
+    signature positions."""
+    sa = sig_df.select(F.col(id_col).alias("id_a"),
+                       F.col(sig_col).alias("sig_a"))
+    sb = sig_df.select(F.col(id_col).alias("id_b"),
+                       F.col(sig_col).alias("sig_b"))
+    est = (F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+                  "v -> v))") / F.size("sig_a"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", est.alias("jaccard_est")))
+
+
+def exact_jaccard(df: DataFrame, pairs: DataFrame, tokens_col: str = "tokens",
+                  id_col: str = "doc_id", shingle: int = 3) -> DataFrame:
+    """Exact shingle-set jaccard for candidate pairs (verification stage)."""
+    shingles = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(size({tokens_col}) - {shingle} + 1, "
+        f"0)), j -> slice({tokens_col}, j, {shingle}))"))
+    sa = df.select(F.col(id_col).alias("id_a"), shingles.alias("sh_a"))
+    sb = df.select(F.col(id_col).alias("id_b"), shingles.alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (inter / union).alias("jaccard")))
+
+
+def minhash_dedup(df: DataFrame, tokens_col: str = "tokens",
+                  id_col: str = "doc_id", threshold: float = 0.8,
+                  num_perm: int = 64, bands: int = 16,
+                  shingle: int = 3) -> DataFrame:
+    """Full MinHash-LSH near-dup removal: signature → banded candidates →
+    exact-jaccard verification → drop the higher id of each verified pair.
+
+    (Pair-local policy, not transitive closure — each surviving row has no
+    verified near-dup with a smaller id among the candidates; iterative
+    connected components would need a loop of joins.)
+    """
+    sigs = minhash_signatures(df, tokens_col, num_perm, shingle)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
+    verified = (exact_jaccard(df, cands, tokens_col, id_col, shingle)
+                .where(F.col("jaccard") >= threshold))
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash64(df: DataFrame, tokens_col: str = "tokens",
+              out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per row from xxhash64 of each token, as a single
+    Catalyst aggregate over bit-sliced votes (no Python).
+
+    For each bit b: vote = Σ_tokens (bit_b(h) ? 1 : -1); sign packs into the
+    output bit. Expressed as an array fold so it stays one projection.
+    """
+    votes = (f"aggregate({tokens_col}, array_repeat(0L, 64), (acc, t) -> "
+             f"zip_with(acc, transform(sequence(0, 63), b -> "
+             f"CASE WHEN (xxhash64(t) >> b) & 1 = 1 THEN 1L ELSE -1L END), "
+             f"(a, v) -> a + v))")
+    pack = (f"aggregate(zip_with({votes}, sequence(0, 63), (v, b) -> "
+            f"CASE WHEN v > 0 THEN shiftleft(1L, cast(b as int)) ELSE 0L END), "
+            f"0L, (acc, x) -> acc | x)")
+    return df.withColumn(out_col, F.expr(pack))
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       sim_col: str = "simhash", prefix_bits: int = 16,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: bucket by rotated prefixes (4 rotations)
+    so any pair within ``max_hamming`` of each other shares ≥1 bucket with
+    high probability, then verify hamming distance exactly (bit_count)."""
+    rots = 4
+    buckets = df.select(
+        F.col(id_col), F.col(sim_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {rots - 1}), r -> shiftrightunsigned("
+            f"{sim_col} | shiftleft({sim_col}, cast(r * 16 as int)), "
+            f"{64 - prefix_bits}))")).alias("rot", "bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    ham = F.expr(f"bit_count(a.{sim_col} ^ b.{sim_col})")
+    return (a.join(b, ["rot", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -1,0 +1,89 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All Catalyst expressions (JVM-side)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "es", "una", "de"],
+}
+
+
+def _ratio(words: Column, vocab: list[str]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*vocab))) / \
+        F.greatest(F.size(words), F.lit(1))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """N-gram/stopword-family language ID: argmax of per-language stopword
+    hit ratios, deterministic tie-break by language code."""
+    words = F.split(F.col(text_col), r"\s+")
+    scored = F.array(*[
+        F.struct(_ratio(words, vocab).alias("score"),
+                 F.lit(lang).alias("lang"))
+        for lang, vocab in STOPWORDS.items()
+    ])
+    best = F.array_max(scored)
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Composite quality features + [0,1] score: length band, mean word
+    length band, punctuation ratio, stopword ratio, repetition ratio."""
+    words = F.split(F.col(text_col), r"\s+")
+    n_chars = F.length(text_col)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    mean_wl = n_chars / n_words
+    punct = (n_chars - F.length(F.regexp_replace(
+        F.col(text_col), r"[\.,;:!\?'\"]", ""))) / F.greatest(n_chars, F.lit(1))
+    stop = _ratio(words, STOPWORDS["en"])
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    score = (
+        F.when((n_chars >= 64) & (n_chars <= 100_000), 0.25).otherwise(0.0)
+        + F.when((mean_wl >= 2.5) & (mean_wl <= 12.0), 0.25).otherwise(0.0)
+        + F.when(punct <= 0.1, 0.2).otherwise(0.0)
+        + F.least(stop * 2.5, F.lit(0.15))
+        + F.least(distinct_ratio, F.lit(0.6)) * 0.25
+    )
+    return (df
+            .withColumn("n_chars_q", n_chars)
+            .withColumn("n_words_q", F.size(words))
+            .withColumn("mean_word_len", F.round(mean_wl, 4))
+            .withColumn("punct_ratio", F.round(punct, 4))
+            .withColumn("stopword_ratio", F.round(stop, 4))
+            .withColumn("distinct_word_ratio", F.round(distinct_ratio, 4))
+            .withColumn(out_col, F.round(score, 4)))
+
+
+#: BPE-ish pre-tokenizer regex: word pieces, numbers, punctuation runs —
+#: the whitespace-plus-subword shape GPT-style tokenizers use upstream.
+BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex piece count per row."""
+    return (df
+            .withColumn("n_ws_tokens", F.size(F.split(F.col(text_col), r"\s+")))
+            .withColumn("n_bpe_ish_tokens",
+                        F.size(F.expr(
+                            f"regexp_extract_all({text_col}, "
+                            f"'{BPE_ISH}', 0)"))))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    out_col: str = "fingerprint", k: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint: min xxhash64 over k-word windows
+    (winnowing-style single-value fingerprint; identical docs ⇒ identical
+    fingerprint, near-identical docs ⇒ equal with high probability)."""
+    words = f"split({text_col}, '\\\\s+')"
+    expr = (f"array_min(transform(sequence(1, greatest(size({words}) - "
+            f"{k} + 1, 1)), j -> xxhash64(slice({words}, j, {k}))))")
+    return df.withColumn(out_col, F.expr(expr))
