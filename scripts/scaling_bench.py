@@ -74,10 +74,36 @@ out["probe_bfuse8_secs"] = best_of(
     lambda: table.where_member(probes, "key").count())
 
 # JVM-only compute witness: codegen'd hash chain + aggregation, no Python
-expr = F.xxhash64(F.xxhash64(F.xxhash64(F.xxhash64("id"))))
+expr = F.xxhash64("id")
+for _ in range(15):
+    expr = F.xxhash64(expr)
 out["scan_xxhash64_secs"] = best_of(
-    lambda: spark.range(n_keys * 4).select(expr.alias("h"))
+    lambda: spark.range(n_keys * 16).select(expr.alias("h"))
     .agg(F.bit_xor("h")).collect())
+
+# Python-stage compute witness: same applyInArrow orchestration as the build
+# (shuffle → per-shard Arrow batch → numpy kernel) but with a sequential-
+# access compute kernel (iterated mix64) instead of the scatter-heavy
+# construction — isolates orchestration+python scaling from DRAM-bandwidth
+# limits of random scatter.
+import numpy as np
+import pyarrow as pa
+from xorf_spark import kernels as K
+
+def mix_kernel(table: pa.Table) -> pa.Table:
+    h = table.column("key").combine_chunks().to_numpy(
+        zero_copy_only=False).view(np.uint64).copy()
+    for i in range(200):
+        h = K.mix64(h)
+    return pa.table({"acc": [int(h.view(np.int64).sum() & 0x7FFFFFFF)]})
+
+def python_stage():
+    sharded = (keys.withColumn("shard_id", D.shard_id_col("key", 128))
+               .repartition(128, "shard_id"))
+    sharded.groupBy("shard_id").applyInArrow(
+        mix_kernel, "acc long").agg(F.sum("acc")).collect()
+
+out["python_mix64_secs"] = best_of(python_stage)
 
 print("XORF_RESULT " + json.dumps(out))
 spark.stop()
@@ -97,7 +123,7 @@ def run_level(cpus: int, n_keys: int) -> dict:
 
 
 def main():
-    n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
+    n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000_000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, "BENCH", "BASELINE.md")
 
@@ -110,7 +136,8 @@ def main():
         "build_bfuse8": ("keys/sec", n_keys),
         "build_xor8": ("keys/sec", n_keys),
         "probe_bfuse8": ("lookups/sec", n_keys),
-        "scan_xxhash64": ("rows/sec", n_keys * 4),
+        "scan_xxhash64": ("rows/sec", n_keys * 16),
+        "python_mix64": ("keys/sec", n_keys),
     }
     lines = [
         "# BENCH/BASELINE — throughput & two-cluster-size scaling evidence",

@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xorf_spark import dataflow as D
+from xorf_spark.functions import md5long, register_sql_udfs
+from xorf_spark.plans import assert_single_shuffle, explain_str, shard_plan
+from xorf_spark.plans.inspect import pushed_filters
+from xorf_spark.sources import docs_tokens
+
+
+def test_build_plan_single_shuffle(spark):
+    keys = spark.range(10_000).select(F.xxhash64("id").alias("key"))
+    df = D.build_filter_df(keys, kind="bfuse8", n_shards=4)
+    assert_single_shuffle(df)
+
+
+def test_key_derivation_stays_jvm(spark):
+    tok = docs_tokens(spark, 100)
+    keyed = D.doc_keys(tok)
+    plan = explain_str(keyed)
+    # no python evaluation nodes in the key derivation
+    assert "Python" not in plan and "Arrow" not in plan.replace(
+        "ArrowEvalPython", "Python")
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert "l_orderkey" in pf            # predicate pushed to the scan
+    assert "l_extendedprice" not in pf   # column pruning effective
+
+
+def test_shard_plan_model():
+    p = shard_plan(10**9, "bfuse8", target_keys_per_shard=4_000_000)
+    assert p.n_shards == 256
+    assert p.peak_bytes_per_task < 512 * 2**20
+    assert not p.broadcastable or p.filter_bytes_total < 1 << 30
+    tiny = shard_plan(1000, "bfuse8")
+    assert tiny.n_shards == 1 and tiny.broadcastable
+    assert "shards" in p.describe()
+
+
+def test_sql_registered_udf(spark):
+    keys = spark.range(5_000).select(F.xxhash64("id").alias("key"))
+    table = D.FilterTable.from_df(
+        D.build_filter_df(keys, kind="bfuse8", n_shards=2), n_shards=2)
+    register_sql_udfs(spark, table, name="xorf_contains_test")
+    keys.createOrReplaceTempView("xorf_keys_test")
+    n = spark.sql("SELECT count(*) AS n FROM xorf_keys_test "
+                  "WHERE xorf_contains_test(key)").collect()[0]["n"]
+    assert n == 5_000  # zero FN through the SQL surface
+
+
+def test_md5long_matches_duckdb(spark):
+    import duckdb
+    vals = ["alpha", "beta", "γδ"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", md5long("s").alias("h")).collect()}
+    for v in vals:
+        want = duckdb.sql(
+            "select ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[v]
+        ).fetchone()[0]
+        assert got[v] == want, v

@@ -1,0 +1,32 @@
+"""Scalar function surface: SQL registration of the membership probe and
+portable hash helpers.
+
+``register_sql_udfs`` makes a built FilterTable queryable from SQL strings:
+
+    register_sql_udfs(spark, table, name="xorf_contains")
+    spark.sql("SELECT * FROM t WHERE xorf_contains(xxhash64(col))")
+
+(the optional nicety from SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from ..dataflow import FilterTable
+
+
+def register_sql_udfs(spark: SparkSession, table: FilterTable,
+                      name: str = "xorf_contains") -> None:
+    """Register the vectorized membership probe as a SQL-callable function."""
+    spark.udf.register(name, table.contains_udf(spark))
+
+
+def md5long(col) -> Column:
+    """Portable 60-bit integer hash (identical in Spark and DuckDB/ANSI SQL):
+    first 15 hex digits of md5 as a bigint. Used wherever an oracle-checkable
+    hash is needed; xxhash64 stays the hot-path key hash."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
