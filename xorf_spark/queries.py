@@ -619,6 +619,20 @@ def q_build_metrics(spark, sf_dir):
             .orderBy("shard_id"))
 
 
+def q_zero_density(spark, sf_dir):
+    """Fingerprint zero-density uniformity analysis (port of the reference's
+    analysis/src/zeroes.rs windowed scan) over a bfuse8 shard table.
+    Deterministic; rows-only driver check."""
+    from .analysis import fingerprint_zero_density
+
+    li = load(spark, sf_dir, "lineitem")
+    keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
+    shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=4)
+    return (fingerprint_zero_density(shard_df)
+            .select("shard_id", "kind", "num_slots", "n_zero")
+            .orderBy("shard_id"))
+
+
 def q_fpp_measure(spark, sf_dir):
     """Measured false-positive counts per variant on deterministic held-out
     probes (the reference FPP test, src/bfuse8.rs:203-217, run distributed).
@@ -670,5 +684,6 @@ def registry() -> dict[str, tuple]:
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
         "build_metrics": (q_build_metrics, None),
         "fpp_measure": (q_fpp_measure, None),
+        "zero_density": (q_zero_density, None),
     })
     return reg
