@@ -2,14 +2,14 @@
 {"metric": ..., "value": N, "unit": ..., "queries": {...}, "sf": ...}
 
 Headline numbers (BASELINE.md target):
-- bfuse8/xor8 distributed build throughput (keys/sec) over 64M distinct keys
-- broadcast-probe throughput (lookups/sec) over 64M probes
+- bfuse8/xor8 distributed build throughput (keys/sec) over 32M distinct keys
+- broadcast-probe throughput (lookups/sec) over 32M probes
 - flagship filter-semi-join + token-pipeline (shingle → dedup → build) at
   $SPARK_GRAFT_SF_DIR
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     XORF_BENCH_KEYS (default 64_000_000).
+     XORF_BENCH_KEYS (default 32_000_000).
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_keys = int(os.environ.get("XORF_BENCH_KEYS", str(64_000_000)))
+    n_keys = int(os.environ.get("XORF_BENCH_KEYS", str(32_000_000)))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from pyspark.sql import SparkSession
