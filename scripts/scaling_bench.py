@@ -73,29 +73,42 @@ probes = spark.range(n_keys).select(
 out["probe_bfuse8_secs"] = best_of(
     lambda: table.where_member(probes, "key").count())
 
-# JVM-only compute witness: codegen'd hash chain + aggregation, no Python
+# Cogrouped probe (the no-broadcast scale path): one shard per task, no
+# per-worker filter copy — page-cache-friendly, measures the big-filter probe
+shard_small = shard.select("shard_id", "kind", "seed", "block_length",
+                           "segment_length", "segment_length_mask",
+                           "segment_count_length", "fingerprints")
+out["probe_cogrouped_secs"] = best_of(
+    lambda: D.probe_cogrouped(probes, shard_small, n_shards=128)
+    .where(F.col("member")).count())
+
+# JVM-only compute witness: deep codegen'd hash chain (compute-bound,
+# register-resident) — isolates harness scaling from DRAM bandwidth
 expr = F.xxhash64("id")
-for _ in range(15):
+for _ in range(63):
     expr = F.xxhash64(expr)
 out["scan_xxhash64_secs"] = best_of(
     lambda: spark.range(n_keys * 16).select(expr.alias("h"))
     .agg(F.bit_xor("h")).collect())
 
 # Python-stage compute witness: same applyInArrow orchestration as the build
-# (shuffle → per-shard Arrow batch → numpy kernel) but with a sequential-
-# access compute kernel (iterated mix64) instead of the scatter-heavy
-# construction — isolates orchestration+python scaling from DRAM-bandwidth
-# limits of random scatter.
+# but a cache-resident compute kernel (chunked iterated mix64) instead of the
+# scatter-heavy construction — isolates orchestration+python scaling from
+# DRAM-bandwidth limits.
 import numpy as np
 import pyarrow as pa
 from xorf_spark import kernels as K
 
 def mix_kernel(table: pa.Table) -> pa.Table:
     h = table.column("key").combine_chunks().to_numpy(
-        zero_copy_only=False).view(np.uint64).copy()
-    for i in range(200):
-        h = K.mix64(h)
-    return pa.table({"acc": [int(h.view(np.int64).sum() & 0x7FFFFFFF)]})
+        zero_copy_only=False).view(np.uint64)
+    acc = 0
+    for lo in range(0, h.size, 65536):   # L2-resident chunks
+        c = h[lo:lo + 65536].copy()
+        for _ in range(200):
+            c = K.mix64(c)
+        acc ^= int(np.bitwise_xor.reduce(c))
+    return pa.table({"acc": [acc & 0x7FFFFFFF]})
 
 def python_stage():
     sharded = (keys.withColumn("shard_id", D.shard_id_col("key", 128))
@@ -136,6 +149,7 @@ def main():
         "build_bfuse8": ("keys/sec", n_keys),
         "build_xor8": ("keys/sec", n_keys),
         "probe_bfuse8": ("lookups/sec", n_keys),
+        "probe_cogrouped": ("lookups/sec", n_keys),
         "scan_xxhash64": ("rows/sec", n_keys * 16),
         "python_mix64": ("keys/sec", n_keys),
     }

@@ -290,7 +290,11 @@ def _filter_from_row(row) -> tuple:
     """(kind, probe-callable) from a shard row without copying fingerprints."""
     kind = row["kind"]
     fp_bits = _fp_bits(kind)
-    fps = np.frombuffer(row["fingerprints"], dtype=_FP_DTYPES[fp_bits])
+    raw = row["fingerprints"]
+    if isinstance(raw, np.ndarray):       # e.g. a read-only np.memmap
+        fps = raw.view(_FP_DTYPES[fp_bits])
+    else:
+        fps = np.frombuffer(raw, dtype=_FP_DTYPES[fp_bits])
     seed = int(row["seed"]) & MASK64
     if kind.startswith("xor"):
         bl = int(row["block_length"])
@@ -368,26 +372,79 @@ class FilterTable:
                 out[m] = self._fn(sid)(keys[m])
         return out
 
-    def contains_udf(self, spark: SparkSession):
-        """Vectorized pandas UDF ``long key -> bool`` over a broadcast of the
-        shard rows; usable in WHERE clauses, joins and SQL (after
-        ``spark.udf.register``)."""
+    def contains_udf(self, spark: SparkSession, via_files: bool | None = None):
+        """Vectorized pandas UDF ``long key -> bool``; usable in WHERE
+        clauses, joins and SQL (after ``spark.udf.register``).
+
+        Two distribution modes for the fingerprint bytes:
+
+        - broadcast (default for small filters): shard rows ride a Spark
+          broadcast; each python worker unpickles its own copy.
+        - ``via_files`` (default above ~64 MiB): fingerprints are written to
+          per-shard files shipped with ``SparkContext.addFile`` — fetched once
+          per executor *node* and ``np.memmap``-ed read-only in workers, so
+          all worker processes on a node share one page-cache copy instead of
+          N private heap copies. This is the scale path for multi-GB filters.
+        """
         from pyspark.sql.functions import pandas_udf
 
-        bc = spark.sparkContext.broadcast((self.rows, self.n_shards))
+        if via_files is None:
+            via_files = self.total_fingerprint_bytes > (64 << 20)
+
+        if not via_files:
+            bc = spark.sparkContext.broadcast((self.rows, self.n_shards))
+
+            @pandas_udf("boolean")
+            def _contains(keys: pd.Series) -> pd.Series:
+                key = id(bc)
+                table = _TABLE_CACHE.get(key)
+                if table is None:
+                    rows, n_shards = bc.value
+                    table = FilterTable(rows, n_shards)
+                    _TABLE_CACHE[key] = table
+                arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
+                return pd.Series(table.contains_np(arr))
+
+            return _contains
+
+        import tempfile
+        import uuid
+
+        sc = spark.sparkContext
+        tag = uuid.uuid4().hex[:12]
+        tmpdir = tempfile.mkdtemp(prefix=f"xorf_fps_{tag}_")
+        meta: dict[int, dict] = {}
+        for sid, row in self.rows.items():
+            fname = f"xorf_{tag}_{sid}.bin"
+            path = f"{tmpdir}/{fname}"
+            with open(path, "wb") as fh:
+                fh.write(row["fingerprints"])
+            sc.addFile(path)
+            meta[sid] = {k: row[k] for k in row if k != "fingerprints"}
+            meta[sid]["__file"] = fname
+        bc_meta = sc.broadcast((meta, self.n_shards))
 
         @pandas_udf("boolean")
-        def _contains(keys: pd.Series) -> pd.Series:
-            key = id(bc)
+        def _contains_mmap(keys: pd.Series) -> pd.Series:
+            from pyspark import SparkFiles
+
+            key = id(bc_meta)
             table = _TABLE_CACHE.get(key)
             if table is None:
-                rows, n_shards = bc.value
+                meta_rows, n_shards = bc_meta.value
+                rows = {}
+                for sid, m in meta_rows.items():
+                    r = dict(m)
+                    dtype = _FP_DTYPES[_fp_bits(r["kind"])]
+                    r["fingerprints"] = np.memmap(
+                        SparkFiles.get(m["__file"]), dtype=dtype, mode="r")
+                    rows[sid] = r
                 table = FilterTable(rows, n_shards)
                 _TABLE_CACHE[key] = table
             arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
             return pd.Series(table.contains_np(arr))
 
-        return _contains
+        return _contains_mmap
 
     def where_member(self, df: DataFrame, key_col: str = "key",
                      negate: bool = False) -> DataFrame:
