@@ -78,6 +78,65 @@ def _zero_fn_query(kind: str, expand: int):
     return q, oracle
 
 
+def q_doc_keys_zero_fn(spark, sf_dir):
+    """Zero-FN over the north-star input shape: keys = xxhash64(tokens) of
+    the derived token table; every document's key must probe true."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    keyed = D.doc_keys(tok)
+    shard_df = D.build_filter_df(keyed.select("key"), kind="bfuse8", n_shards=2)
+    table = D.FilterTable.from_df(shard_df, n_shards=2)
+    n_docs = keyed.count()
+    n_true = table.where_member(keyed, "key").count()
+    return spark.createDataFrame([(n_docs, n_true)],
+                                 "n_docs bigint, n_true bigint")
+
+
+ORACLE_DOC_KEYS_ZERO_FN = ("SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+                           "CAST(count(*) AS BIGINT) AS n_true FROM documents")
+
+
+def q_shingle_zero_fn(spark, sf_dir):
+    """Zero-FN over 8-token shingle keys of the derived token table (the
+    n-gram key-derivation path of the north star)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs)
+    keyed = D.shingle_keys(tok, k=8)
+    shard_df = D.build_filter_df(keyed.select("key"), kind="xor16", n_shards=2)
+    table = D.FilterTable.from_df(shard_df, n_shards=2)
+    n_shingles = keyed.count()
+    n_true = table.where_member(keyed, "key").count()
+    return spark.createDataFrame([(n_shingles, n_true)],
+                                 "n_shingles bigint, n_true bigint")
+
+
+ORACLE_SHINGLE_ZERO_FN = """
+SELECT CAST(sum(greatest(len(string_split(text, ' ')) - 7, 0)) AS BIGINT)
+           AS n_shingles,
+       CAST(sum(greatest(len(string_split(text, ' ')) - 7, 0)) AS BIGINT)
+           AS n_true
+FROM documents
+"""
+
+
+def q_hash_proxy_strings(spark, sf_dir):
+    """HashProxy role (reference src/hash_proxy.rs:124-138): arbitrary string
+    keys → 64-bit hashes → filter; zero FN on every inserted string."""
+    cust = load(spark, sf_dir, "customer")
+    keyed = cust.withColumn("key", F.xxhash64("c_name"))
+    shard_df = D.build_filter_df(keyed.select("key"), kind="bfuse16",
+                                 n_shards=1)
+    table = D.FilterTable.from_df(shard_df, n_shards=1)
+    n_rows = keyed.count()
+    n_true = table.where_member(keyed, "key").count()
+    return spark.createDataFrame([(n_rows, n_true)],
+                                 "n_rows bigint, n_true bigint")
+
+
+ORACLE_HASH_PROXY_STRINGS = ("SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+                             "CAST(count(*) AS BIGINT) AS n_true FROM customer")
+
+
 # ---------------------------------------------------------------------------
 # 2. Membership joins (the reference's stated use case, src/lib.rs:2-4):
 #    filter pre-pass + exact backstop == exact join, SQL-checkable.
@@ -663,6 +722,9 @@ def registry() -> dict[str, tuple]:
         fn, sql = _zero_fn_query(kind, expand)
         reg[f"{kind}_zero_fn"] = (fn, sql)
     reg.update({
+        "doc_keys_zero_fn": (q_doc_keys_zero_fn, ORACLE_DOC_KEYS_ZERO_FN),
+        "shingle_zero_fn": (q_shingle_zero_fn, ORACLE_SHINGLE_ZERO_FN),
+        "hash_proxy_strings": (q_hash_proxy_strings, ORACLE_HASH_PROXY_STRINGS),
         "bfuse8_semijoin": (q_bfuse8_semijoin, ORACLE_BFUSE8_SEMIJOIN),
         "bfuse16_antijoin": (q_bfuse16_antijoin, ORACLE_BFUSE16_ANTIJOIN),
         "xor16_semijoin_part": (q_xor16_semijoin_part, ORACLE_XOR16_SEMIJOIN_PART),
