@@ -47,6 +47,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    D.ship_package(spark)  # workers import xorf_spark regardless of cwd
 
     timings: dict[str, float] = {}
 

@@ -76,8 +76,45 @@ _FP_DTYPES = {8: np.dtype("<u1"), 16: np.dtype("<u2"), 32: np.dtype("<u4")}
 DEFAULT_TARGET_KEYS_PER_SHARD = 16_000_000
 
 
+VALID_KINDS = ("xor8", "xor16", "xor32", "bfuse8", "bfuse16", "bfuse32",
+               "fuse8", "fuse16", "fuse32")
+
+
 def _fp_bits(kind: str) -> int:
+    if kind not in VALID_KINDS:
+        raise ValueError(f"unknown filter kind {kind!r}; one of {VALID_KINDS}")
     return int(kind.replace("xor", "").replace("bfuse", "").replace("fuse", ""))
+
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``xorf_spark`` importable on python workers regardless of the
+    driver process's cwd/PYTHONPATH: zip the package and ``addPyFile`` it
+    (idempotent per SparkContext — the programmatic twin of spark-submit
+    ``--py-files dist/xorf_spark.zip``)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg)
+    zpath = os.path.join(tempfile.mkdtemp(prefix="xorf_pyfiles_"),
+                         "xorf_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, parent))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 
 # ---------------------------------------------------------------------------
