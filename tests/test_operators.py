@@ -240,3 +240,28 @@ def test_streaming_membership(spark, token_df, tmp_path):
     q2.stop()
     survivors = {r["key"] for r in spark.sql("select * from deduped").collect()}
     assert not (survivors & hist_keys)  # no historical key survives
+
+
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: each key emitted once across
+    micro-batches (first occurrence wins)."""
+    from pyspark.sql import functions as F
+    from xorf_spark.streaming.stateful_dedup import stream_exact_dedup
+
+    src = str(tmp_path / "dedup_in")
+    # batch 1: keys 0..999 (each duplicated), batch 2: 500..1499
+    b1 = spark.range(1000).select(F.col("id").alias("key"))
+    b1.unionByName(b1).write.mode("overwrite").parquet(src + "/b1")
+    spark.range(500, 1500).select(F.col("id").alias("key")) \
+        .write.mode("overwrite").parquet(src + "/b2")
+
+    stream = spark.readStream.schema("key long").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    out = stream_exact_dedup(stream, "key", n_buckets=4)
+    q = (out.writeStream.format("memory").queryName("exact_dedup")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select key from exact_dedup").collect()
+    keys = [r["key"] for r in rows]
+    assert len(keys) == len(set(keys)) == 1500  # 0..1499 exactly once
