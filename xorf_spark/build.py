@@ -36,7 +36,9 @@ def _count3(capacity: int, j0: np.ndarray, j1: np.ndarray, j2: np.ndarray
     c = np.bincount(j0, minlength=capacity)
     c += np.bincount(j1, minlength=capacity)
     c += np.bincount(j2, minlength=capacity)
-    return c
+    # int32 halves the peel phase's memory traffic (counts stay < 64 by the
+    # overflow-retry rule mirroring the reference's packed u8 counters)
+    return c.astype(np.int32)
 
 
 def _sort_by_low32(h: np.ndarray) -> np.ndarray:
