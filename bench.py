@@ -103,6 +103,22 @@ def main() -> None:
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
     shard_bf.unpersist()
 
+    # --- mergeable sketch UDAFs (north rule) ---------------------------------
+    from xorf_spark import sketches as S
+
+    secs, _ = best_of(
+        lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
+    timings["sketch_hll"] = round(secs, 3)
+    hll_rate = n_keys / secs
+
+    vals = spark.range(n_keys // 4).select(
+        (F.col("id") % 1_000_000).cast("double").alias("v"))
+    secs, _ = best_of(
+        lambda: S.sketch_agg(vals, "v", "tdigest",
+                             {"delta": 300}).quantile(0.5))
+    timings["sketch_tdigest"] = round(secs, 3)
+    tdigest_rate = (n_keys // 4) / secs
+
     # --- sf-table queries ----------------------------------------------------
     timed("flagship_semijoin",
           lambda: Q.q_bfuse8_semijoin(spark, sf_dir).collect())
@@ -136,6 +152,8 @@ def main() -> None:
             "bfuse8_measured_fpp": fpp,
             "token_pipeline_shingle_keys_per_sec": round(shingle_rate),
             "token_pipeline_distinct_shingles": int(shingle_keys_built),
+            "hll_agg_keys_per_sec": round(hll_rate),
+            "tdigest_agg_values_per_sec": round(tdigest_rate),
         },
     }))
     spark.stop()

@@ -118,6 +118,16 @@ def python_stage():
 
 out["python_mix64_secs"] = best_of(python_stage)
 
+# Mergeable sketch UDAF (north rule): zero-shuffle mapInArrow partial per
+# input partition + tiny merge tree — the canonical sketch aggregation shape.
+from xorf_spark import sketches as S
+out["sketch_hll_secs"] = best_of(
+    lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
+vals = spark.range(n_keys // 4).select(
+    (F.col("id") % 1_000_000).cast("double").alias("v"))
+out["sketch_tdigest_secs"] = best_of(
+    lambda: S.sketch_agg(vals, "v", "tdigest", {"delta": 300}).quantile(0.5))
+
 print("XORF_RESULT " + json.dumps(out))
 spark.stop()
 """
@@ -152,6 +162,8 @@ def main():
         "probe_cogrouped": ("lookups/sec", n_keys),
         "scan_xxhash64": ("rows/sec", n_keys * 16),
         "python_mix64": ("keys/sec", n_keys),
+        "sketch_hll": ("keys/sec", n_keys),
+        "sketch_tdigest": ("values/sec", n_keys // 4),
     }
     lines = [
         "# BENCH/BASELINE — throughput & two-cluster-size scaling evidence",

@@ -1,0 +1,255 @@
+"""Mergeable sketch library: kernel bounds, merge laws, serde, and the
+distributed UDAF dataflow (north-rule requirement: HLL / Count-Min /
+t-digest / KLL / Bloom as mergeable aggregations matching the published
+error bounds, with merge associativity and checkpoint-resume)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorf_spark.kernels import mix64
+from xorf_spark.sketches import (
+    KLL,
+    Bloom,
+    CountMin,
+    HyperLogLog,
+    TDigest,
+    build_sketch_table,
+    grouped_sketch,
+    sketch_agg,
+    sketch_from_bytes,
+    sketch_from_table,
+)
+
+
+def _hashes(n: int, seed: int = 7) -> np.ndarray:
+    """~n distinct uniform u64 hashes. NOTE: no slicing after np.unique —
+    unique sorts, and truncating a sorted array clips the top hash range,
+    which would starve the high HLL registers (index = top p bits)."""
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 2**63, n, dtype=np.int64).view(np.uint64)
+    return np.unique(mix64(raw))
+
+
+# ---------------------------------------------------------------------------
+# Kernel bounds (published error guarantees)
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_bound():
+    keys = _hashes(250_000)
+    h = HyperLogLog(p=12).add_hashes(keys)
+    est = h.estimate()
+    # standard error 1.04/sqrt(m); allow 4 sigma on a fixed seed
+    assert abs(est - keys.size) / keys.size < 4 * h.rel_error()
+
+
+def test_hll_merge_is_exact_max_and_order_free():
+    keys = _hashes(120_000)
+    whole = HyperLogLog(p=12).add_hashes(keys)
+    a = HyperLogLog(p=12).add_hashes(keys[:40_000])
+    b = HyperLogLog(p=12).add_hashes(keys[40_000:90_000])
+    c = HyperLogLog(p=12).add_hashes(keys[90_000:])
+    ab_c = HyperLogLog(p=12).merge(a).merge(b).merge(c)
+    c_ba = HyperLogLog(p=12).merge(c).merge(b).merge(a)
+    assert np.array_equal(ab_c.registers, whole.registers)
+    assert ab_c.to_bytes() == c_ba.to_bytes() == whole.to_bytes()
+
+
+def test_cms_never_underestimates_and_within_eps():
+    rng = np.random.default_rng(3)
+    z = rng.zipf(1.3, 400_000)
+    z = z[z < 100_000].astype(np.int64)
+    keys = mix64(z.view(np.uint64))
+    cms = CountMin(width=8192, depth=5).add_hashes(keys)
+    vals, true = np.unique(z, return_counts=True)
+    top = np.argsort(true)[-50:]
+    est = cms.estimate_hashes(mix64(vals[top].view(np.uint64)))
+    err = est - true[top]
+    assert (err >= 0).all()                      # CMS law: never under
+    assert (err <= cms.eps() * cms.total).all()  # w.p. 1-e^-5 per query
+
+
+def test_cms_merge_is_exact_sum():
+    keys = _hashes(100_000)
+    w = np.ones(keys.size, dtype=np.int64)
+    whole = CountMin(width=2048, depth=4).add_hashes(keys, w)
+    a = CountMin(width=2048, depth=4).add_hashes(keys[:30_000])
+    b = CountMin(width=2048, depth=4).add_hashes(keys[30_000:])
+    assert b.merge(a).to_bytes() == whole.to_bytes()
+
+
+def test_bloom_zero_false_negatives_and_fpp():
+    keys = _hashes(200_000)
+    bl = Bloom.for_capacity(keys.size, fpp=0.01).add_hashes(keys)
+    assert bl.contains_hashes(keys).all()
+    fresh = _hashes(200_000, seed=99)
+    fpp = float(bl.contains_hashes(fresh).mean())
+    assert fpp < 0.02  # 2x the design target on a fixed seed
+
+
+def test_bloom_merge_is_exact_or():
+    keys = _hashes(50_000)
+    whole = Bloom(n_bits=1 << 20, k=7).add_hashes(keys)
+    a = Bloom(n_bits=1 << 20, k=7).add_hashes(keys[:20_000])
+    b = Bloom(n_bits=1 << 20, k=7).add_hashes(keys[20_000:])
+    assert a.merge(b).to_bytes() == whole.to_bytes()
+
+
+def test_kll_rank_error_and_merge_bound():
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(0, 1, 200_000)
+    kl = KLL(k=400).add(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        v = kl.quantiles([q])[0]
+        assert abs((vals <= v).mean() - q) < 0.01
+    parts = [KLL(k=400).add(vals[i::8]) for i in range(8)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.n == vals.size
+    v = merged.quantiles([0.5])[0]
+    assert abs((vals <= v).mean() - 0.5) < 0.015
+
+
+def test_tdigest_rank_error_tails_and_merge():
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1, 200_000)
+    td = TDigest(delta=300).add(vals)
+    for q, bound in ((0.001, 0.001), (0.01, 0.002), (0.5, 0.005),
+                     (0.99, 0.002), (0.999, 0.001)):
+        v = td.quantile(q)
+        assert abs((vals <= v).mean() - q) < bound
+    parts = [TDigest(delta=300).add(vals[i::16]) for i in range(16)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert abs((vals <= merged.quantile(0.99)).mean() - 0.99) < 0.003
+    # sketch stays small: that's the whole point
+    assert merged.means.size < 3 * merged.delta
+
+
+def test_serde_roundtrip_all_kinds():
+    keys = _hashes(10_000)
+    vals = np.linspace(0, 1, 10_000)
+    for sk in (HyperLogLog(p=10).add_hashes(keys),
+               CountMin(width=512, depth=3).add_hashes(keys),
+               Bloom(n_bits=1 << 16, k=5).add_hashes(keys),
+               KLL(k=128).add(vals),
+               TDigest(delta=100).add(vals)):
+        back = sketch_from_bytes(sk.to_bytes())
+        assert back.to_bytes() == sk.to_bytes()
+        assert type(back) is type(sk)
+
+
+def test_geometry_mismatch_rejected():
+    with pytest.raises(ValueError):
+        HyperLogLog(p=10).merge(HyperLogLog(p=12))
+    with pytest.raises(ValueError):
+        CountMin(width=512, depth=3).merge(CountMin(width=256, depth=3))
+    with pytest.raises(ValueError):
+        Bloom(n_bits=128, k=3).merge(Bloom(n_bits=256, k=3))
+
+
+# ---------------------------------------------------------------------------
+# Distributed dataflow
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    return (spark.range(150_000, numPartitions=16)
+            .select(F.xxhash64("id").alias("key"),
+                    (F.col("id") % 997).cast("double").alias("v"),
+                    F.pmod("id", F.lit(4)).alias("grp"))
+            .cache())
+
+
+def _local_hll(df, p):
+    arr = np.array([r.key for r in df.select("key").collect()],
+                   dtype=np.int64).view(np.uint64)
+    return HyperLogLog(p=p).add_hashes(arr)
+
+
+def test_distributed_keyed_state_equals_local(spark, keyed_df):
+    """Partitioning/merge order must not change HLL state at all — the
+    bit-exact mergeability law that makes the UDAF correct at any scale."""
+    dist = sketch_agg(keyed_df, "key", "hll", {"p": 12})
+    assert dist.to_bytes() == _local_hll(keyed_df, 12).to_bytes()
+
+
+def test_distributed_tree_merge_fanout_invariance(spark, keyed_df):
+    a = sketch_agg(keyed_df, "key", "cms", {"width": 2048, "depth": 4},
+                   fanout=2)
+    b = sketch_agg(keyed_df.repartition(5), "key", "cms",
+                   {"width": 2048, "depth": 4}, fanout=64)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_distributed_valued_sketches_within_bound(spark, keyed_df):
+    n = keyed_df.count()
+    td = sketch_agg(keyed_df, "v", "tdigest", {"delta": 300})
+    kll = sketch_agg(keyed_df, "v", "kll", {"k": 400})
+    assert abs(td.n - n) < 1e-9
+    assert kll.n == n
+    for q in (0.1, 0.5, 0.9):
+        for est in (td.quantile(q), float(kll.quantiles([q])[0])):
+            exact_rank = keyed_df.where(F.col("v") <= est).count() / n
+            assert abs(exact_rank - q) < 0.015
+
+
+def test_grouped_hll_estimates(spark, keyed_df):
+    rows = grouped_sketch(keyed_df, ["grp"], "key", "hll", {"p": 12}).collect()
+    exact = {r.grp: r.c for r in keyed_df.groupBy("grp")
+             .agg(F.countDistinct("key").alias("c")).collect()}
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r.estimate - exact[r.grp]) / exact[r.grp] < 4 * 1.04 / 64
+
+
+def test_bloom_udf_zero_fn_in_where_clause(spark, keyed_df):
+    from xorf_spark.sketches import bloom_contains_udf
+
+    bl = sketch_agg(keyed_df, "key", "bloom",
+                    {"n_bits": 1 << 21, "k": 7})
+    udf = bloom_contains_udf(spark, bl)
+    assert keyed_df.where(udf("key")).count() == keyed_df.count()
+
+
+def test_cms_udf_never_under(spark, keyed_df):
+    from xorf_spark.sketches import cms_estimate_udf
+
+    # key column with duplicates: hash of grp
+    dup = keyed_df.select(F.xxhash64("grp").alias("key"))
+    cms = sketch_agg(dup, "key", "cms", {"width": 4096, "depth": 5})
+    udf = cms_estimate_udf(spark, cms)
+    rows = (dup.groupBy("key").agg(F.count("*").alias("true_n"))
+            .withColumn("est", udf("key")).collect())
+    assert rows and all(r.est >= r.true_n for r in rows)
+
+
+def test_sketch_table_checkpoint_resume(spark, keyed_df, tmp_path):
+    """Interrupted build (half the buckets committed) + resume == clean
+    build, byte-identical final state."""
+    path = str(tmp_path / "hll_partials")
+    # simulate a first run that only committed buckets 0-3
+    first = keyed_df.where(
+        F.shiftrightunsigned("key", 64 - 3).cast("int") < 4)
+    build_sketch_table(first, "key", "hll", path, {"p": 12}, n_buckets=8,
+                       resume=False)
+    assert spark.read.parquet(path).count() == 4
+    # resumed run: builds only the missing buckets
+    build_sketch_table(keyed_df, "key", "hll", path, {"p": 12}, n_buckets=8)
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == 8
+    assert tbl.select("part_id").distinct().count() == 8
+    merged = sketch_from_table(spark, path)
+    assert merged.to_bytes() == _local_hll(keyed_df, 12).to_bytes()
+
+
+def test_empty_input(spark):
+    empty = spark.range(0).select(F.xxhash64("id").alias("key"))
+    sk = sketch_agg(empty, "key", "hll", {"p": 10})
+    assert sk.estimate() == 0.0

@@ -428,24 +428,27 @@ class FilterTable:
         if via_files is None:
             via_files = self.total_fingerprint_bytes > (64 << 20)
 
+        import uuid
+
         if not via_files:
             bc = spark.sparkContext.broadcast((self.rows, self.n_shards))
+            # cache key is a per-UDF uuid, NOT id(bc): python ids are reused
+            # after GC, and a collision would silently probe the wrong filter
+            cache_tag = uuid.uuid4().hex
 
             @pandas_udf("boolean")
             def _contains(keys: pd.Series) -> pd.Series:
-                key = id(bc)
-                table = _TABLE_CACHE.get(key)
+                table = _TABLE_CACHE.get(cache_tag)
                 if table is None:
                     rows, n_shards = bc.value
                     table = FilterTable(rows, n_shards)
-                    _TABLE_CACHE[key] = table
+                    _TABLE_CACHE[cache_tag] = table
                 arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
                 return pd.Series(table.contains_np(arr))
 
             return _contains
 
         import tempfile
-        import uuid
 
         sc = spark.sparkContext
         tag = uuid.uuid4().hex[:12]
@@ -465,8 +468,7 @@ class FilterTable:
         def _contains_mmap(keys: pd.Series) -> pd.Series:
             from pyspark import SparkFiles
 
-            key = id(bc_meta)
-            table = _TABLE_CACHE.get(key)
+            table = _TABLE_CACHE.get(tag)
             if table is None:
                 meta_rows, n_shards = bc_meta.value
                 rows = {}
@@ -477,7 +479,7 @@ class FilterTable:
                         SparkFiles.get(m["__file"]), dtype=dtype, mode="r")
                     rows[sid] = r
                 table = FilterTable(rows, n_shards)
-                _TABLE_CACHE[key] = table
+                _TABLE_CACHE[tag] = table
             arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
             return pd.Series(table.contains_np(arr))
 

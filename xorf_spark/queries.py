@@ -748,4 +748,6 @@ def registry() -> dict[str, tuple]:
         "fpp_measure": (q_fpp_measure, None),
         "zero_density": (q_zero_density, None),
     })
+    from . import sketch_queries
+    reg.update(sketch_queries.registry())
     return reg

@@ -1,0 +1,202 @@
+"""Driver-contract queries for the mergeable sketch library.
+
+Oracle pattern for approximate operators: the Spark query computes BOTH the
+sketch estimate AND the exact answer (exact part reproducible in ANSI SQL),
+then emits the exact values plus boolean ``*_ok`` columns asserting the
+sketch's published error law. The DuckDB oracle returns the exact values and
+literal TRUEs — so a sketch drifting out of its guarantee hash-mismatches,
+while legitimate approximation noise does not. The laws checked:
+
+- HLL:      |est - d| ≤ 4·1.04/√m · d        (Flajolet et al. 2007)
+- CMS:      true ≤ est ≤ true + (e/w)·N       (Cormode-Muthukrishnan 2005)
+- Bloom:    zero false negatives; measured FPP ≤ 2× design target
+- t-digest: |rank(est_q) - q| ≤ 0.01          (Dunning-Ertl, δ=300)
+- KLL:      |rank(est_q) - q| ≤ 0.025         (Karnin-Lang-Liberty, k=400)
+- merge:    HLL/CMS/Bloom state is byte-identical across partitionings and
+            merge-tree fanouts (exact associativity/commutativity)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import sketches as S
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HLL(p=12) distinct customers over orders vs exact countDistinct."""
+    orders = _load(spark, sf_dir, "orders")
+    keyed = orders.select(F.xxhash64("o_custkey").alias("key"))
+    hll = S.sketch_agg(keyed, "key", "hll", {"p": 12})
+    exact = keyed.distinct().count()
+    ok = abs(hll.estimate() - exact) <= 4 * hll.rel_error() * exact
+    return spark.createDataFrame([(exact, bool(ok))],
+                                 "exact_distinct bigint, within_bound boolean")
+
+
+ORACLE_HLL_DISTINCT = ("SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS "
+                       "exact_distinct, TRUE AS within_bound FROM orders")
+
+
+def q_hll_group_distinct(spark, sf_dir):
+    """Grouped HLL (sketch-per-key applyInPandas): distinct customers per
+    order priority, each within the HLL bound of the exact count."""
+    orders = _load(spark, sf_dir, "orders")
+    keyed = orders.select("o_orderpriority",
+                          F.xxhash64("o_custkey").alias("key"))
+    est = S.grouped_sketch(keyed, ["o_orderpriority"], "key", "hll",
+                           {"p": 12})
+    exact = keyed.groupBy("o_orderpriority").agg(
+        F.countDistinct("key").alias("exact_distinct"))
+    bound = 4 * 1.04 / math.sqrt(1 << 12)
+    return (est.join(exact, "o_orderpriority")
+            .select("o_orderpriority",
+                    F.col("exact_distinct").cast("long"),
+                    (F.abs(F.col("estimate") - F.col("exact_distinct"))
+                     <= F.lit(bound) * F.col("exact_distinct"))
+                    .alias("within_bound"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_HLL_GROUP_DISTINCT = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-Min point queries on every l_linenumber value: never under the
+    exact count and within eps·N over it."""
+    li = _load(spark, sf_dir, "lineitem")
+    keyed = li.select(F.xxhash64("l_linenumber").alias("key"),
+                      "l_linenumber")
+    cms = S.sketch_agg(keyed, "key", "cms", {"width": 8192, "depth": 5})
+    udf = S.cms_estimate_udf(spark, cms)
+    slack = int(math.ceil(cms.eps() * cms.total))
+    return (keyed.groupBy("l_linenumber")
+            .agg(F.count(F.lit(1)).alias("true_count"))
+            .withColumn("est", udf(F.xxhash64("l_linenumber")))
+            .select("l_linenumber", "true_count",
+                    ((F.col("est") >= F.col("true_count"))
+                     & (F.col("est") <= F.col("true_count") + slack))
+                    .alias("cms_ok"))
+            .orderBy("l_linenumber"))
+
+
+ORACLE_CMS_COUNTS = """
+SELECT l_linenumber, CAST(count(*) AS BIGINT) AS true_count, TRUE AS cms_ok
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_bloom_zero_fn(spark, sf_dir):
+    """Bloom over order keys: every inserted key probes true (zero FN — the
+    same contract as the reference filters, src/lib.rs:117-120), and measured
+    FPP on 1M held-out keys stays ≤ 2× the design target."""
+    orders = _load(spark, sf_dir, "orders")
+    keyed = orders.select(F.xxhash64("o_orderkey").alias("key"))
+    n = keyed.count()
+    bloom = S.sketch_agg(keyed, "key", "bloom",
+                         {"n_bits": S.Bloom.for_capacity(n, 0.01).n_bits,
+                          "k": S.Bloom.for_capacity(n, 0.01).k})
+    udf = S.bloom_contains_udf(spark, bloom)
+    n_true = keyed.where(udf("key")).count()
+    fresh = spark.range(1_000_000).select(
+        F.xxhash64(F.col("id") + 555_000_000).alias("key"))
+    fpp = fresh.where(udf("key")).count() / 1_000_000
+    return spark.createDataFrame(
+        [(n, n_true, bool(fpp <= 0.02))],
+        "n_rows bigint, n_true bigint, fpp_ok boolean")
+
+
+ORACLE_BLOOM_ZERO_FN = ("SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+                        "CAST(count(*) AS BIGINT) AS n_true, "
+                        "TRUE AS fpp_ok FROM orders")
+
+_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def _rank_ok_df(spark, df, col, ests, bound):
+    """One pass over the table computing the exact rank of each estimated
+    quantile value, then |rank - q| ≤ bound per q."""
+    n = df.count()
+    agg = df.agg(*[
+        F.sum(F.when(F.col(col) <= float(v), 1).otherwise(0)).alias(f"c{i}")
+        for i, v in enumerate(ests)]).collect()[0]
+    rows = [(float(q), bool(abs(agg[f"c{i}"] / n - q) <= bound))
+            for i, q in enumerate(_QS)]
+    return spark.createDataFrame(rows, "q double, rank_ok boolean")
+
+
+def q_tdigest_quantiles(spark, sf_dir):
+    """t-digest(δ=300) quantiles of l_extendedprice: each estimate's exact
+    rank within 0.01 of its target (tails are far tighter in practice)."""
+    li = _load(spark, sf_dir, "lineitem")
+    td = S.sketch_agg(li, "l_extendedprice", "tdigest", {"delta": 300})
+    return _rank_ok_df(spark, li, "l_extendedprice",
+                       td.quantiles(list(_QS)), 0.01)
+
+
+def q_kll_quantiles(spark, sf_dir):
+    """KLL(k=400) quantiles of document length (n_chars): exact rank within
+    0.025 of target (k=400 ⇒ ~0.8% rank error plus tie mass on the discrete
+    length distribution)."""
+    docs = _load(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").cast("double").alias("v"))
+    kll = S.sketch_agg(vals, "v", "kll", {"k": 400})
+    return _rank_ok_df(spark, vals, "v", kll.quantiles(list(_QS)), 0.025)
+
+
+_ORACLE_QUANTILES = ("SELECT CAST(q AS DOUBLE) AS q, rank_ok FROM (VALUES "
+                     + ", ".join(f"({q}, TRUE)" for q in _QS)
+                     + ") AS t(q, rank_ok) ORDER BY q")
+
+
+def q_sketch_merge_assoc(spark, sf_dir):
+    """Merge associativity/commutativity, byte-exact: for each keyed sketch,
+    aggregate the same keys under different partitionings AND different
+    merge-tree fanouts — final serialized state must be identical (the law
+    that makes shard-parallel sketch builds correct at any cluster size)."""
+    li = _load(spark, sf_dir, "lineitem")
+    keyed = (li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
+             .cache())
+    params = {"hll": {"p": 12},
+              "cms": {"width": 4096, "depth": 4},
+              "bloom": {"n_bits": 1 << 21, "k": 7}}
+    rows = []
+    for kind in sorted(params):
+        a = S.sketch_agg(keyed.repartition(4), "key", kind, params[kind],
+                         fanout=2)
+        b = S.sketch_agg(keyed.repartition(17), "key", kind, params[kind],
+                         fanout=64)
+        rows.append((kind, a.to_bytes() == b.to_bytes()))
+    keyed.unpersist()
+    return spark.createDataFrame(rows, "kind string, state_identical boolean")
+
+
+ORACLE_SKETCH_MERGE_ASSOC = (
+    "SELECT kind, TRUE AS state_identical FROM (VALUES "
+    "('bloom'), ('cms'), ('hll')) AS t(kind) ORDER BY kind")
+
+
+def registry() -> dict[str, tuple]:
+    return {
+        "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
+        "hll_group_distinct": (q_hll_group_distinct,
+                               ORACLE_HLL_GROUP_DISTINCT),
+        "cms_counts": (q_cms_counts, ORACLE_CMS_COUNTS),
+        "bloom_zero_fn": (q_bloom_zero_fn, ORACLE_BLOOM_ZERO_FN),
+        "tdigest_quantiles": (q_tdigest_quantiles, _ORACLE_QUANTILES),
+        "kll_quantiles": (q_kll_quantiles, _ORACLE_QUANTILES),
+        "sketch_merge_assoc": (q_sketch_merge_assoc,
+                               ORACLE_SKETCH_MERGE_ASSOC),
+    }

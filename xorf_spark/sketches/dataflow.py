@@ -1,0 +1,338 @@
+"""Distributed mergeable-sketch aggregation: the UDAF dataflow.
+
+Shape of the computation (the classic partial-aggregate / merge tree that
+Spark's own ``TypedImperativeAggregate`` uses, re-expressed as DataFrame
+stages so the sketch state can be numpy + Arrow):
+
+1. **partial**: ``mapInArrow`` folds each *input partition* into one sketch —
+   zero shuffle, the map-side combine. One output row per non-empty
+   partition: ``(part_id, kind, payload, n_rows, build_secs)``.
+2. **merge**: a fan-in tree of ``groupBy(part_id % g).applyInPandas`` merge
+   stages. With 100k input partitions on a 1000-executor cluster the tree is
+   2 levels of tiny (KB-MB) payload shuffles; locally it is a single stage.
+3. **final**: the 1-row result is collected and deserialized; or kept as a
+   table row for persistence.
+
+Merge laws (tested in tests/test_sketches.py): HLL/CMS/Bloom state is
+bit-identical regardless of partitioning or merge order (max/sum/or);
+KLL/t-digest agree within their published error bounds.
+
+Checkpoint-resumable variant (north-star requirement, same discipline as the
+filter shard table in ``xorf_spark.dataflow.build_filter_table``):
+``build_sketch_table`` buckets rows by a hash of the sketched column, builds
+one partial per bucket (input-sorted ⇒ deterministic bytes), appends to a
+parquet lineage table, and a restarted job anti-joins the committed bucket
+ids — the merged final sketch is identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .kernels import KEYED_KINDS, SKETCH_KINDS, make_sketch, sketch_from_bytes
+
+#: One row per partial sketch (per input partition, or per bucket in the
+#: resumable path). ``payload`` is the self-describing serialized sketch.
+PARTIAL_SCHEMA = StructType([
+    StructField("part_id", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("build_secs", DoubleType(), False),
+])
+
+_PA_PARTIAL = pa.schema([
+    ("part_id", pa.int32()), ("kind", pa.string()), ("payload", pa.binary()),
+    ("n_rows", pa.int64()), ("build_secs", pa.float64()),
+])
+
+
+def _feed(sk, kind: str, arr: np.ndarray, weights=None):
+    if kind in KEYED_KINDS:
+        if kind == "cms" and weights is not None:
+            sk.add_hashes(arr, weights)
+        else:
+            sk.add_hashes(arr)
+    else:
+        sk.add(arr)
+
+
+def _partial_row(pid: int, kind: str, sk, n: int, t0: float) -> dict:
+    return {"part_id": pid, "kind": kind, "payload": sk.to_bytes(),
+            "n_rows": n, "build_secs": time.time() - t0}
+
+
+def partial_sketches(df: DataFrame, col: str, kind: str,
+                     params: dict | None = None,
+                     weight_col: str | None = None) -> DataFrame:
+    """One sketch per input partition via ``mapInArrow`` — the shuffle-free
+    map-side combine. Column pruning happens before the python stage (only
+    ``col`` [+ ``weight_col``] cross the Arrow boundary)."""
+    if kind not in SKETCH_KINDS:
+        raise ValueError(f"unknown sketch kind {kind!r}; one of {SKETCH_KINDS}")
+    params = dict(params or {})
+    cols = [F.col(col).alias("v")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+    proj = df.select(*cols)
+    has_w = weight_col is not None
+
+    def fold(batches):
+        from pyspark import TaskContext
+
+        t0 = time.time()
+        sk = make_sketch(kind, **params)
+        n = 0
+        for b in batches:
+            tb = pa.table(b).drop_null()
+            arr = tb.column("v").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            w = (tb.column("w").combine_chunks().to_numpy(
+                zero_copy_only=False) if has_w else None)
+            if arr.size == 0:
+                continue
+            _feed(sk, kind, arr, w)
+            n += int(arr.size)
+        if n == 0:
+            return
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        row = _partial_row(pid, kind, sk, n, t0)
+        yield pa.RecordBatch.from_pydict(
+            {k: [v] for k, v in row.items()}, schema=_PA_PARTIAL)
+
+    return proj.mapInArrow(fold, PARTIAL_SCHEMA)
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    t0 = time.time()
+    sk = None
+    # deterministic merge order (payload bytes for valued sketches depend on
+    # it; keyed sketches are order-independent anyway)
+    pdf = pdf.sort_values("part_id", kind="stable")
+    for payload in pdf["payload"]:
+        s = sketch_from_bytes(payload)
+        sk = s if sk is None else sk.merge(s)
+    row = _partial_row(int(pdf["part_id"].iloc[0]), str(pdf["kind"].iloc[0]),
+                       sk, int(pdf["n_rows"].sum()), t0)
+    row["build_secs"] += float(pdf["build_secs"].max())
+    return pd.DataFrame([row])
+
+
+def tree_merge(partials: DataFrame, n_parts: int,
+               fanout: int = 64) -> DataFrame:
+    """Fan-in merge tree over partial rows → a single-row DataFrame.
+
+    ``n_parts`` is an upper bound on the partial count (e.g. the input's
+    partition count) — it only sizes the tree, so an over-estimate is safe
+    and costs no extra Spark job."""
+    df = partials
+    n = max(int(n_parts), 1)
+    while n > 1:
+        n_groups = max(1, math.ceil(n / fanout))
+        df = (df.withColumn(
+                  "part_id",
+                  F.pmod(F.col("part_id"), F.lit(n_groups)).cast("int"))
+              .repartition(n_groups, "part_id")
+              .groupBy("part_id")
+              .applyInPandas(_merge_group, PARTIAL_SCHEMA))
+        n = n_groups
+    return df
+
+
+def sketch_agg(df: DataFrame, col: str, kind: str,
+               params: dict | None = None, weight_col: str | None = None,
+               fanout: int = 64):
+    """Full aggregation: partial per partition → merge tree → sketch object.
+
+    Returns the deserialized sketch (empty sketch if ``df`` has no rows)."""
+    partials = partial_sketches(df, col, kind, params, weight_col)
+    n_parts = df.rdd.getNumPartitions()
+    rows = tree_merge(partials, n_parts, fanout).collect()
+    if not rows:
+        return make_sketch(kind, **dict(params or {}))
+    return sketch_from_bytes(rows[0]["payload"])
+
+
+# ---------------------------------------------------------------------------
+# Grouped sketches (sketch per key — applyInPandas per group)
+# ---------------------------------------------------------------------------
+
+def grouped_sketch(df: DataFrame, group_cols: list[str], col: str, kind: str,
+                   params: dict | None = None) -> DataFrame:
+    """One sketch per group: ``groupBy(keys).applyInPandas``. Output keeps the
+    group columns and adds ``(payload, n_rows, estimate)`` where ``estimate``
+    is the kind's headline number (HLL → distinct estimate; CMS → total
+    weight; Bloom → keys added; KLL/t-digest → item count)."""
+    params = dict(params or {})
+    key_fields = [df.schema[c] for c in group_cols]
+    out_schema = StructType(key_fields + [
+        StructField("payload", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("estimate", DoubleType(), False),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = make_sketch(kind, **params)
+        vals = pdf[col].dropna()
+        arr = (vals.to_numpy(np.int64).view(np.uint64)
+               if kind in KEYED_KINDS else vals.to_numpy(np.float64))
+        _feed(sk, kind, arr)
+        if kind == "hll":
+            est = sk.estimate()
+        elif kind == "cms":
+            est = float(sk.total)
+        elif kind == "bloom":
+            est = float(sk.n_added)
+        else:
+            est = float(sk.n)
+        head = {c: pdf[c].iloc[0] for c in group_cols}
+        return pd.DataFrame([{**head, "payload": sk.to_bytes(),
+                              "n_rows": int(arr.size), "estimate": est}])
+
+    return df.groupBy(*group_cols).applyInPandas(build, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-resumable sketch table (per-bucket lineage)
+# ---------------------------------------------------------------------------
+
+def bucket_col(col: str, kind: str, n_buckets: int):
+    """Deterministic bucket id for a sketched column. Keyed sketches bucket by
+    the top bits of the (already uniform) 64-bit key — same hash-prefix
+    discipline as the filter shard table; valued sketches bucket by
+    ``pmod(xxhash64(value), n))``."""
+    p = int(math.log2(n_buckets))
+    if 1 << p != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    if kind in KEYED_KINDS:
+        if p == 0:
+            return F.lit(0).cast("int")
+        return F.shiftrightunsigned(F.col(col), 64 - p).cast("int")
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def _bucket_build_fn(kind: str, params: dict, col: str):
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        sk = make_sketch(kind, **params)
+        vals = pdf[col].dropna()
+        arr = (vals.to_numpy(np.int64).view(np.uint64)
+               if kind in KEYED_KINDS else vals.to_numpy(np.float64))
+        # input-sorted ⇒ payload bytes are a pure function of bucket content,
+        # so a resumed build is byte-identical to an uninterrupted one
+        _feed(sk, kind, np.sort(arr))
+        pid = int(pdf["__bucket"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame([_partial_row(pid, kind, sk, int(arr.size), t0)])
+
+    return build
+
+
+def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
+                       params: dict | None = None, n_buckets: int = 16,
+                       resume: bool = True) -> DataFrame:
+    """Checkpoint-resumable sketch build: one partial per hash bucket,
+    appended to a parquet lineage table ``(part_id, kind, payload, n_rows,
+    build_secs)``. Restarts skip committed buckets."""
+    params = dict(params or {})
+    spark = df.sparkSession
+    done: set[int] = set()
+    if resume:
+        try:
+            done = {r.part_id for r in spark.read.parquet(path)
+                    .select("part_id").distinct().collect()}
+        except Exception:
+            done = set()
+    bucketed = df.select(F.col(col).alias(col)).withColumn(
+        "__bucket", bucket_col(col, kind, n_buckets))
+    if done:
+        bucketed = bucketed.where(~F.col("__bucket").isin(list(done)))
+    partials = (bucketed.repartition(n_buckets, "__bucket")
+                .groupBy("__bucket")
+                .applyInPandas(_bucket_build_fn(kind, params, col),
+                               PARTIAL_SCHEMA))
+    if done:
+        partials = partials.where(~F.col("part_id").isin(list(done)))
+    partials.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def sketch_from_table(spark: SparkSession, path: str):
+    """Merge a persisted partial-sketch table into one sketch object
+    (deterministic part_id order)."""
+    rows = sorted(spark.read.parquet(path).collect(),
+                  key=lambda r: r.part_id)
+    sk = None
+    for r in rows:
+        s = sketch_from_bytes(r.payload)
+        sk = s if sk is None else sk.merge(s)
+    return sk
+
+
+# ---------------------------------------------------------------------------
+# Probe-side UDFs (broadcast sketch → vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+_SKETCH_CACHE: dict = {}
+
+
+def _cached(tag: str, bc):
+    # keyed by a per-UDF uuid, NOT id(bc): python ids are reused after GC,
+    # so an id key could hand one query's UDF another query's sketch
+    sk = _SKETCH_CACHE.get(tag)
+    if sk is None:
+        sk = sketch_from_bytes(bc.value)
+        _SKETCH_CACHE[tag] = sk
+    return sk
+
+
+def cms_estimate_udf(spark: SparkSession, cms):
+    """``long key -> long`` estimated count (never under the true count)."""
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(cms.to_bytes())
+    tag = uuid.uuid4().hex
+
+    @pandas_udf("long")
+    def _est(keys: pd.Series) -> pd.Series:
+        sk = _cached(tag, bc)
+        arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
+        return pd.Series(sk.estimate_hashes(arr))
+
+    return _est
+
+
+def bloom_contains_udf(spark: SparkSession, bloom):
+    """``long key -> boolean`` membership (zero false negatives)."""
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    tag = uuid.uuid4().hex
+
+    @pandas_udf("boolean")
+    def _contains(keys: pd.Series) -> pd.Series:
+        sk = _cached(tag, bc)
+        arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
+        return pd.Series(sk.contains_hashes(arr))
+
+    return _contains
