@@ -253,3 +253,74 @@ def test_empty_input(spark):
     empty = spark.range(0).select(F.xxhash64("id").alias("key"))
     sk = sketch_agg(empty, "key", "hll", {"p": 10})
     assert sk.estimate() == 0.0
+
+
+def test_streaming_windowed_hll(spark, tmp_path):
+    """Streaming HLL per (group, window): the running estimate after all
+    micro-batches must equal a batch HLL over the same rows (byte-level
+    mergeability makes fold order irrelevant), and sit within the bound of
+    the exact distinct count."""
+    from xorf_spark.streaming import stream_windowed_hll
+
+    src = str(tmp_path / "hll_stream")
+    base = spark.range(40_000).select(
+        F.xxhash64("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+         + F.make_interval(mins=(F.col("id") % 180).cast("int"))).alias("ts"))
+    # two micro-batches with overlap
+    base.where(F.col("id") < 25_000).write.parquet(src + "/b1")
+    base.where(F.col("id") >= 15_000).write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema("key long, grp string, ts timestamp") \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    out = stream_windowed_hll(stream, "key", "grp", "ts",
+                              window="1 hour", p=12)
+    q = (out.writeStream.format("memory").queryName("hll_win")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    # final running estimate per (group, window): estimates are monotone
+    # under max-merge, so the max update is the last one (memory-sink row
+    # order is not guaranteed)
+    final: dict = {}
+    for r in spark.sql("select * from hll_win").collect():
+        k = (r.group, r.window_start)
+        final[k] = max(final.get(k, 0.0), r.distinct_est)
+    exact = {(r.grp, r.ws): r.d for r in
+             (base.groupBy("grp", F.unix_timestamp(
+                 F.window("ts", "1 hour").start).alias("ws"))
+              .agg(F.countDistinct("key").alias("d")).collect())}
+    assert set(final) == set(exact)
+    for k, est in final.items():
+        assert abs(est - exact[k]) / exact[k] < 4 * 1.04 / 64
+
+
+def test_partial_stage_is_shuffle_free(spark, keyed_df):
+    """The map-side combine law: folding partitions into partials must not
+    shuffle the input — only the KB-sized partial rows move afterwards."""
+    from xorf_spark.plans.inspect import count_exchanges
+    from xorf_spark.sketches import partial_sketches
+
+    partials = partial_sketches(keyed_df, "key", "hll", {"p": 12})
+    assert count_exchanges(partials) == 0
+
+
+def test_sql_registered_sketch_udfs(spark, keyed_df):
+    from xorf_spark.functions import register_sketch_udfs
+    from xorf_spark.sketches import sketch_agg
+
+    bl = sketch_agg(keyed_df, "key", "bloom", {"n_bits": 1 << 21, "k": 7})
+    dup = keyed_df.select(F.xxhash64("grp").alias("key"))
+    cm = sketch_agg(dup, "key", "cms", {"width": 4096, "depth": 5})
+    register_sketch_udfs(spark, bloom=bl, cms=cm, prefix="t_sketch")
+    keyed_df.createOrReplaceTempView("t_keys")
+    dup.createOrReplaceTempView("t_dups")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM t_keys "
+        "WHERE t_sketch_bloom_contains(key)").collect()[0].n
+    assert n == keyed_df.count()
+    rows = spark.sql(
+        "SELECT key, count(*) AS true_n, t_sketch_cms_count(key) AS est "
+        "FROM t_dups GROUP BY key").collect()
+    assert rows and all(r.est >= r.true_n for r in rows)

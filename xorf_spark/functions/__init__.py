@@ -1,1 +1,5 @@
-from .registry import md5long, register_sql_udfs  # noqa: F401
+from .registry import (  # noqa: F401
+    md5long,
+    register_sketch_udfs,
+    register_sql_udfs,
+)

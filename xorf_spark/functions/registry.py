@@ -23,6 +23,24 @@ def register_sql_udfs(spark: SparkSession, table: FilterTable,
     spark.udf.register(name, table.contains_udf(spark))
 
 
+def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
+                         prefix: str = "sketch") -> None:
+    """Register sketch probe UDFs as SQL-callable functions:
+
+        register_sketch_udfs(spark, bloom=bl, cms=cm)
+        spark.sql("SELECT * FROM t WHERE sketch_bloom_contains(xxhash64(k))")
+        spark.sql("SELECT sketch_cms_count(xxhash64(k)) FROM t")
+    """
+    from ..sketches import bloom_contains_udf, cms_estimate_udf
+
+    if bloom is not None:
+        spark.udf.register(f"{prefix}_bloom_contains",
+                           bloom_contains_udf(spark, bloom))
+    if cms is not None:
+        spark.udf.register(f"{prefix}_cms_count",
+                           cms_estimate_udf(spark, cms))
+
+
 def md5long(col) -> Column:
     """Portable 60-bit integer hash (identical in Spark and DuckDB/ANSI SQL):
     first 15 hex digits of md5 as a bigint. Used wherever an oracle-checkable

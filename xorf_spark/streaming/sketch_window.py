@@ -1,0 +1,89 @@
+"""Streaming mergeable-sketch aggregation: per-(group, event-time-window)
+HyperLogLog distinct counts with ``applyInPandasWithState``.
+
+The batch UDAF dataflow (``xorf_spark.sketches.dataflow``) folds partitions
+and merges; the streaming twin folds *micro-batches* into per-group sketch
+state. Because HLL state is a pure max-merge (order- and batching-invariant),
+the running state after any prefix of the stream equals a batch build over
+the same rows — the mergeability law is exactly what makes the operator
+streamable with `update` semantics.
+
+State model: one HLL payload per (group, window-start) key; each micro-batch
+re-mixes the batch's keys into a fresh HLL and max-merges it into state —
+per-row work is all vectorized numpy. Emits the running estimate per update.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sketches.kernels import HyperLogLog, sketch_from_bytes
+
+_STATE_SCHEMA = StructType([StructField("payload", BinaryType(), True)])
+_OUT_SCHEMA = StructType([
+    StructField("group", StringType(), True),
+    StructField("window_start", LongType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("distinct_est", DoubleType(), False),
+])
+
+
+def _make_fold_fn(p: int):
+    def fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+             ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (blob,) = state.get
+            hll = sketch_from_bytes(blob)
+        else:
+            hll = HyperLogLog(p=p)
+        n = 0
+        for pdf in pdfs:
+            import numpy as np
+
+            keys = pdf["key"].to_numpy(np.int64).view(np.uint64)
+            hll.add_hashes(keys)
+            n += int(keys.size)
+        state.update((hll.to_bytes(),))
+        yield pd.DataFrame([{
+            "group": key[0],
+            "window_start": int(key[1]),
+            "n_rows": n,
+            "distinct_est": hll.estimate(),
+        }])
+
+    return fold
+
+
+def stream_windowed_hll(stream_df: DataFrame, key_col: str,
+                        group_col: str, ts_col: str = "ts",
+                        window: str = "1 hour", p: int = 12) -> DataFrame:
+    """Running approximate distinct-count per (group, event-time window).
+
+    ``key_col`` must be a 64-bit key column (derive with ``xxhash64``).
+    Emits one update row per touched (group, window) per micro-batch with
+    the running HLL estimate — 2^p bytes of state per group-window instead
+    of the unbounded exact-distinct set.
+    """
+    bucketed = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).cast("string").alias("group"),
+        F.unix_timestamp(F.window(F.col(ts_col), window).start)
+        .alias("window_start"))
+    return (bucketed.groupBy("group", "window_start")
+            .applyInPandasWithState(
+                _make_fold_fn(p), _OUT_SCHEMA, _STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
