@@ -5,8 +5,6 @@ error bounds, with merge associativity and checkpoint-resume)."""
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
