@@ -73,6 +73,39 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hll_shingle_distinct(spark, sf_dir):
+    """North-star input shape: HLL(p=14) over the 8-token shingle keys of the
+    derived token table (the same key-derivation path the filters build on),
+    vs the exact distinct-shingle count — the canonical 'how many unique
+    n-grams are in the corpus' question at 10^12-sequence scale, where exact
+    distinct is a full shuffle and the HLL partial is shuffle-free."""
+    from .dataflow import shingle_keys
+    from .sources import tokens_from_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    keyed = shingle_keys(tokens_from_documents(docs), k=8)
+    hll = S.sketch_agg(keyed, "key", "hll", {"p": 14})
+    exact = keyed.select("key").distinct().count()
+    ok = abs(hll.estimate() - exact) <= 4 * hll.rel_error() * exact
+    return spark.createDataFrame(
+        [(exact, bool(ok))],
+        "n_distinct_shingles bigint, within_bound boolean")
+
+
+# word-level distinct equals key-level distinct (xxhash64 collision-free on
+# this corpus — the same equivalence the shingle_key_dedup oracle relies on)
+ORACLE_HLL_SHINGLE_DISTINCT = """
+WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT array_to_string(w[i:i+7], ' ') AS shingle
+  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+)
+SELECT CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles,
+       TRUE AS within_bound
+FROM sh
+"""
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-Min point queries on every l_linenumber value: never under the
     exact count and within eps·N over it."""
@@ -191,6 +224,8 @@ ORACLE_SKETCH_MERGE_ASSOC = (
 def registry() -> dict[str, tuple]:
     return {
         "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
+        "hll_shingle_distinct": (q_hll_shingle_distinct,
+                                 ORACLE_HLL_SHINGLE_DISTINCT),
         "hll_group_distinct": (q_hll_group_distinct,
                                ORACLE_HLL_GROUP_DISTINCT),
         "cms_counts": (q_cms_counts, ORACLE_CMS_COUNTS),
