@@ -143,6 +143,60 @@ def test_serde_roundtrip_all_kinds():
         assert type(back) is type(sk)
 
 
+def test_keyed_merge_laws_property():
+    """Property: for ANY split of a key set into parts and ANY merge order,
+    HLL/CMS/Bloom state is byte-identical to the whole-set build."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = _hashes(20_000)
+
+    @settings(max_examples=15, deadline=None)
+    @given(cuts=st.lists(st.integers(1, keys.size - 1), min_size=1,
+                         max_size=5, unique=True),
+           order_seed=st.integers(0, 2**31))
+    def check(cuts, order_seed):
+        parts = np.split(keys, sorted(cuts))
+        order = np.random.default_rng(order_seed).permutation(len(parts))
+        for make in (lambda: HyperLogLog(p=10),
+                     lambda: CountMin(width=256, depth=3),
+                     lambda: Bloom(n_bits=1 << 18, k=5)):
+            whole = make()
+            whole.add_hashes(keys)
+            merged = make()
+            for i in order:
+                merged.merge(make().add_hashes(parts[i]))
+            assert merged.to_bytes() == whole.to_bytes()
+
+    check()
+
+
+def test_valued_merge_bound_property():
+    """Property: KLL/t-digest merged over ANY split keep their rank-error
+    guarantee (the 'within published bound' half of the merge law)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(21)
+    vals = rng.lognormal(0, 1.5, 60_000)
+
+    @settings(max_examples=8, deadline=None)
+    @given(cuts=st.lists(st.integers(1, vals.size - 1), min_size=1,
+                         max_size=6, unique=True))
+    def check(cuts):
+        parts = np.split(vals, sorted(cuts))
+        kll, td = KLL(k=400), TDigest(delta=300)
+        for p in parts:
+            kll.merge(KLL(k=400).add(p))
+            td.merge(TDigest(delta=300).add(p))
+        assert kll.n == vals.size and abs(td.n - vals.size) < 1e-6
+        for q in (0.05, 0.5, 0.95):
+            assert abs((vals <= kll.quantiles([q])[0]).mean() - q) < 0.02
+            assert abs((vals <= td.quantile(q)).mean() - q) < 0.01
+
+    check()
+
+
 def test_geometry_mismatch_rejected():
     with pytest.raises(ValueError):
         HyperLogLog(p=10).merge(HyperLogLog(p=12))
