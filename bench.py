@@ -57,15 +57,6 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # Warm up JVM JIT, shuffle paths and python workers with an uncounted
-    # build (steady-state measurement; first-ever job pays one-time C2/JIT
-    # compilation that a long-running cluster job never sees again).
-    warm = spark.range(8_000_000).select(F.xxhash64("id").alias("key"))
-    D.build_filter_df(warm, kind="bfuse8", n_shards=64).count()
-    D.build_filter_df(warm, kind="bfuse8", n_shards=64).count()
-
-    # --- distributed build throughput (the metric); best-of-2 to damp
-    # noisy-neighbor variance on the shared sandbox -------------------------
     n_shards = 128
     repeats = int(os.environ.get("XORF_BENCH_REPEATS", "2"))
     keys = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
@@ -78,6 +69,38 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best, out
 
+    # --- mergeable sketch UDAFs (north rule) ---------------------------------
+    # Measured FIRST: once any python stage has consumed a *shuffled* input in
+    # this JVM (e.g. the sharded filter build), every later python-feed stage
+    # in the same local-mode JVM runs ~6x slower (measured, Spark 4.1 —
+    # a JVM-global artifact of mixing runner input paths; per-executor JVMs on
+    # a real cluster don't interleave unrelated stages like this). Sketch
+    # aggregation is shuffle-free, so its clean-regime number is the honest
+    # capability figure.
+    from xorf_spark import sketches as S
+
+    secs, _ = best_of(
+        lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
+    timings["sketch_hll"] = round(secs, 3)
+    hll_rate = n_keys / secs
+
+    vals = spark.range(n_keys // 4).select(
+        (F.col("id") % 1_000_000).cast("double").alias("v"))
+    secs, _ = best_of(
+        lambda: S.sketch_agg(vals, "v", "tdigest",
+                             {"delta": 300}).quantile(0.5))
+    timings["sketch_tdigest"] = round(secs, 3)
+    tdigest_rate = (n_keys // 4) / secs
+
+    # Warm up JVM JIT, shuffle paths and python workers with an uncounted
+    # build (steady-state measurement; first-ever job pays one-time C2/JIT
+    # compilation that a long-running cluster job never sees again).
+    warm = spark.range(8_000_000).select(F.xxhash64("id").alias("key"))
+    D.build_filter_df(warm, kind="bfuse8", n_shards=64).count()
+    D.build_filter_df(warm, kind="bfuse8", n_shards=64).count()
+
+    # --- distributed build throughput (the metric); best-of-2 to damp
+    # noisy-neighbor variance on the shared sandbox -------------------------
     secs, total_keys = best_of(
         lambda: D.build_filter_df(keys, kind="bfuse8", n_shards=n_shards)
         .agg(F.sum("n_keys")).collect()[0][0])
@@ -102,22 +125,6 @@ def main() -> None:
     probe_rate = n_keys / secs
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
     shard_bf.unpersist()
-
-    # --- mergeable sketch UDAFs (north rule) ---------------------------------
-    from xorf_spark import sketches as S
-
-    secs, _ = best_of(
-        lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
-    timings["sketch_hll"] = round(secs, 3)
-    hll_rate = n_keys / secs
-
-    vals = spark.range(n_keys // 4).select(
-        (F.col("id") % 1_000_000).cast("double").alias("v"))
-    secs, _ = best_of(
-        lambda: S.sketch_agg(vals, "v", "tdigest",
-                             {"delta": 300}).quantile(0.5))
-    timings["sketch_tdigest"] = round(secs, 3)
-    tdigest_rate = (n_keys // 4) / secs
 
     # --- sf-table queries ----------------------------------------------------
     timed("flagship_semijoin",

@@ -158,16 +158,27 @@ def tree_merge(partials: DataFrame, n_parts: int,
 
 def sketch_agg(df: DataFrame, col: str, kind: str,
                params: dict | None = None, weight_col: str | None = None,
-               fanout: int = 64):
-    """Full aggregation: partial per partition → merge tree → sketch object.
+               fanout: int = 64, driver_merge_threshold: int = 1024):
+    """Full aggregation: partial per partition → merge → sketch object.
+
+    Partial rows are KB-sized, so up to ``driver_merge_threshold`` of them
+    are collected and merged driver-side — one Spark stage, no shuffle
+    (exactly how Spark's own TypedImperativeAggregate finishes on a single
+    reducer). Beyond that (100k-partition cluster scans) a fan-in tree of
+    ``applyInPandas`` merge stages keeps every fan-in ≤ ``fanout``.
 
     Returns the deserialized sketch (empty sketch if ``df`` has no rows)."""
     partials = partial_sketches(df, col, kind, params, weight_col)
     n_parts = df.rdd.getNumPartitions()
-    rows = tree_merge(partials, n_parts, fanout).collect()
+    if n_parts > driver_merge_threshold:
+        partials = tree_merge(partials, n_parts, fanout)
+    rows = sorted(partials.collect(), key=lambda r: r["part_id"])
     if not rows:
         return make_sketch(kind, **dict(params or {}))
-    return sketch_from_bytes(rows[0]["payload"])
+    sk = sketch_from_bytes(rows[0]["payload"])
+    for r in rows[1:]:
+        sk = sk.merge(sketch_from_bytes(r["payload"]))
+    return sk
 
 
 # ---------------------------------------------------------------------------
