@@ -306,6 +306,12 @@ def main():
         "cluster run one pipeline each). Those rows are therefore the",
         "mixed-pipeline regime.",
         "",
+        "Companion reports: `BENCH/BASELINE.md` (local[8] vs local[32], the",
+        "DRAM-saturated regime) and `BENCH/SCALING_2v8.md` (local[2] vs",
+        "local[8], where the measured DRAM curve is still linear — the",
+        "regime that matches N→4N executors on separate machines; the",
+        "flagship build and sketch UDAF hit ≥0.88 efficiency there).",
+        "",
         "Three witnesses separate harness scaling from this box's physics:",
         "",
         "- `scan_xxhash64` (pure JVM whole-stage-codegen, register-resident):",
