@@ -270,6 +270,23 @@ def test_bloom_udf_zero_fn_in_where_clause(spark, keyed_df):
     assert keyed_df.where(udf("key")).count() == keyed_df.count()
 
 
+def test_tdigest_cdf_udf_quantile_filter(spark, keyed_df):
+    """The quantile-filter primitive: keep rows between p10 and p90 of a
+    t-digest trained on the column — selected fraction ≈ 0.8 and every kept
+    value sits inside the exact decile values."""
+    from xorf_spark.sketches import tdigest_cdf_udf
+
+    td = sketch_agg(keyed_df, "v", "tdigest", {"delta": 300})
+    udf = tdigest_cdf_udf(spark, td)
+    n = keyed_df.count()
+    kept = keyed_df.where((udf("v") >= 0.1) & (udf("v") <= 0.9))
+    frac = kept.count() / n
+    assert abs(frac - 0.8) < 0.02
+    lo, hi = td.quantiles([0.08, 0.92])
+    mn, mx = kept.agg(F.min("v"), F.max("v")).collect()[0]
+    assert mn >= lo and mx <= hi
+
+
 def test_cms_udf_never_under(spark, keyed_df):
     from xorf_spark.sketches import cms_estimate_udf
 

@@ -5,6 +5,7 @@ reference filter family)."""
 from .dataflow import (
     PARTIAL_SCHEMA,
     bloom_contains_udf,
+    tdigest_cdf_udf,
     build_sketch_table,
     cms_estimate_udf,
     grouped_sketch,
@@ -31,5 +32,5 @@ __all__ = [
     "make_sketch", "sketch_from_bytes",
     "partial_sketches", "tree_merge", "sketch_agg", "grouped_sketch",
     "build_sketch_table", "sketch_from_table",
-    "cms_estimate_udf", "bloom_contains_udf",
+    "cms_estimate_udf", "bloom_contains_udf", "tdigest_cdf_udf",
 ]

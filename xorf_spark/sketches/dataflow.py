@@ -331,6 +331,26 @@ def cms_estimate_udf(spark: SparkSession, cms):
     return _est
 
 
+def tdigest_cdf_udf(spark: SparkSession, td):
+    """``double value -> double`` estimated rank (fraction of the sketched
+    distribution ≤ value). The training-data filtering primitive: train a
+    t-digest over e.g. document lengths, then keep rows between chosen
+    percentiles with a WHERE clause — no global sort, no second pass."""
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(td.to_bytes())
+    tag = uuid.uuid4().hex
+
+    @pandas_udf("double")
+    def _cdf(vals: pd.Series) -> pd.Series:
+        sk = _cached(tag, bc)
+        return pd.Series(sk.cdf(vals.to_numpy(np.float64)))
+
+    return _cdf
+
+
 def bloom_contains_udf(spark: SparkSession, bloom):
     """``long key -> boolean`` membership (zero false negatives)."""
     import uuid
