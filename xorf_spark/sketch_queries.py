@@ -194,6 +194,36 @@ _ORACLE_QUANTILES = ("SELECT CAST(q AS DOUBLE) AS q, rank_ok FROM (VALUES "
                      + ") AS t(q, rank_ok) ORDER BY q")
 
 
+def q_tdigest_group_quantiles(spark, sf_dir):
+    """Grouped valued sketch: one t-digest per source over document length;
+    each group's estimated median must sit within 0.02 rank of the exact
+    per-group median (the per-source length-distribution question a
+    training-data pipeline asks before filtering)."""
+    docs = _load(spark, sf_dir, "documents")
+    vals = docs.select("source", F.col("n_chars").cast("double").alias("v"))
+    g = S.grouped_sketch(vals, ["source"], "v", "tdigest", {"delta": 300})
+    from .sketches import sketch_from_bytes
+    ests = [(r.source, float(sketch_from_bytes(r.payload).quantile(0.5)))
+            for r in g.collect()]
+    est_df = spark.createDataFrame(ests, "source string, p50 double")
+    ranked = (vals.join(F.broadcast(est_df), "source")
+              .groupBy("source")
+              .agg((F.sum(F.when(F.col("v") <= F.col("p50"), 1).otherwise(0))
+                    / F.count(F.lit(1))).alias("rank"),
+                   F.count(F.lit(1)).alias("n")))
+    # bound = sketch error + rank granularity of a small discrete group
+    # (at sf0.01 a source has only ~30 docs, so ranks move in 1/n steps)
+    return (ranked.select("source",
+                          (F.abs(F.col("rank") - 0.5)
+                           <= 0.02 + 2.0 / F.col("n")).alias("rank_ok"))
+            .orderBy("source"))
+
+
+ORACLE_TDIGEST_GROUP_QUANTILES = ("SELECT source, TRUE AS rank_ok "
+                                  "FROM documents GROUP BY source "
+                                  "ORDER BY source")
+
+
 def q_sketch_merge_assoc(spark, sf_dir):
     """Merge associativity/commutativity, byte-exact: for each keyed sketch,
     aggregate the same keys under different partitionings AND different
@@ -231,6 +261,8 @@ def registry() -> dict[str, tuple]:
         "cms_counts": (q_cms_counts, ORACLE_CMS_COUNTS),
         "bloom_zero_fn": (q_bloom_zero_fn, ORACLE_BLOOM_ZERO_FN),
         "tdigest_quantiles": (q_tdigest_quantiles, _ORACLE_QUANTILES),
+        "tdigest_group_quantiles": (q_tdigest_group_quantiles,
+                                    ORACLE_TDIGEST_GROUP_QUANTILES),
         "kll_quantiles": (q_kll_quantiles, _ORACLE_QUANTILES),
         "sketch_merge_assoc": (q_sketch_merge_assoc,
                                ORACLE_SKETCH_MERGE_ASSOC),
