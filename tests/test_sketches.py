@@ -261,6 +261,18 @@ def test_grouped_hll_estimates(spark, keyed_df):
         assert abs(r.estimate - exact[r.grp]) / exact[r.grp] < 4 * 1.04 / 64
 
 
+def test_grouped_sketch_two_phase_matches_single_phase(spark, keyed_df):
+    """The map-side-combine grouped path (no group ever materializes whole)
+    must produce byte-identical keyed-sketch state to the single-phase
+    groupBy build — the law that lets hot groups scale past worker memory."""
+    one = grouped_sketch(keyed_df, ["grp"], "key", "hll", {"p": 12})
+    two = grouped_sketch(keyed_df, ["grp"], "key", "hll", {"p": 12},
+                         two_phase=True)
+    a = {r.grp: (bytes(r.payload), r.n_rows) for r in one.collect()}
+    b = {r.grp: (bytes(r.payload), r.n_rows) for r in two.collect()}
+    assert a == b and len(a) == 4
+
+
 def test_bloom_udf_zero_fn_in_where_clause(spark, keyed_df):
     from xorf_spark.sketches import bloom_contains_udf
 

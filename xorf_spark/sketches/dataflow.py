@@ -185,12 +185,38 @@ def sketch_agg(df: DataFrame, col: str, kind: str,
 # Grouped sketches (sketch per key — applyInPandas per group)
 # ---------------------------------------------------------------------------
 
+def _headline(kind: str, sk) -> float:
+    if kind == "hll":
+        return sk.estimate()
+    if kind == "cms":
+        return float(sk.total)
+    if kind == "bloom":
+        return float(sk.n_added)
+    return float(sk.n)
+
+
+def _col_to_arr(vals: pd.Series, kind: str) -> np.ndarray:
+    vals = vals.dropna()
+    return (vals.to_numpy(np.int64).view(np.uint64)
+            if kind in KEYED_KINDS else vals.to_numpy(np.float64))
+
+
 def grouped_sketch(df: DataFrame, group_cols: list[str], col: str, kind: str,
-                   params: dict | None = None) -> DataFrame:
-    """One sketch per group: ``groupBy(keys).applyInPandas``. Output keeps the
-    group columns and adds ``(payload, n_rows, estimate)`` where ``estimate``
-    is the kind's headline number (HLL → distinct estimate; CMS → total
-    weight; Bloom → keys added; KLL/t-digest → item count)."""
+                   params: dict | None = None,
+                   two_phase: bool = False) -> DataFrame:
+    """One sketch per group. Output keeps the group columns and adds
+    ``(payload, n_rows, estimate)`` where ``estimate`` is the kind's headline
+    number (HLL → distinct estimate; CMS → total weight; Bloom → keys added;
+    KLL/t-digest → item count).
+
+    ``two_phase=False`` (default): ``groupBy(keys).applyInPandas`` — one
+    pandas frame per group. Right when groups fit in a worker.
+
+    ``two_phase=True`` — the scale path for hot groups: a ``mapInPandas``
+    map-side combine folds each input partition's rows into per-group
+    partial sketches (no group ever materializes whole), then only KB-sized
+    payloads shuffle into a per-group merge. Keyed-sketch output state is
+    byte-identical to the single-phase build (max/sum/or merges)."""
     params = dict(params or {})
     key_fields = [df.schema[c] for c in group_cols]
     out_schema = StructType(key_fields + [
@@ -199,25 +225,57 @@ def grouped_sketch(df: DataFrame, group_cols: list[str], col: str, kind: str,
         StructField("estimate", DoubleType(), False),
     ])
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = make_sketch(kind, **params)
-        vals = pdf[col].dropna()
-        arr = (vals.to_numpy(np.int64).view(np.uint64)
-               if kind in KEYED_KINDS else vals.to_numpy(np.float64))
-        _feed(sk, kind, arr)
-        if kind == "hll":
-            est = sk.estimate()
-        elif kind == "cms":
-            est = float(sk.total)
-        elif kind == "bloom":
-            est = float(sk.n_added)
-        else:
-            est = float(sk.n)
+    if not two_phase:
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = make_sketch(kind, **params)
+            arr = _col_to_arr(pdf[col], kind)
+            _feed(sk, kind, arr)
+            head = {c: pdf[c].iloc[0] for c in group_cols}
+            return pd.DataFrame([{**head, "payload": sk.to_bytes(),
+                                  "n_rows": int(arr.size),
+                                  "estimate": _headline(kind, sk)}])
+
+        return df.groupBy(*group_cols).applyInPandas(build, out_schema)
+
+    partial_schema = StructType(key_fields + [
+        StructField("payload", BinaryType(), False),
+        StructField("n_rows", LongType(), False),
+    ])
+
+    def combine(pdfs):
+        sketches: dict = {}
+        counts: dict = {}
+        for pdf in pdfs:
+            for key, sub in pdf.groupby(group_cols, dropna=False,
+                                        sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                arr = _col_to_arr(sub[col], kind)
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = make_sketch(kind, **params)
+                    counts[key] = 0
+                _feed(sk, kind, arr)
+                counts[key] += int(arr.size)
+        if sketches:
+            yield pd.DataFrame([
+                {**dict(zip(group_cols, key)), "payload": sk.to_bytes(),
+                 "n_rows": counts[key]}
+                for key, sk in sketches.items()])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n_rows", kind="stable")
+        sk = None
+        for payload in pdf["payload"]:
+            s = sketch_from_bytes(payload)
+            sk = s if sk is None else sk.merge(s)
         head = {c: pdf[c].iloc[0] for c in group_cols}
         return pd.DataFrame([{**head, "payload": sk.to_bytes(),
-                              "n_rows": int(arr.size), "estimate": est}])
+                              "n_rows": int(pdf["n_rows"].sum()),
+                              "estimate": _headline(kind, sk)}])
 
-    return df.groupBy(*group_cols).applyInPandas(build, out_schema)
+    partials = df.mapInPandas(combine, partial_schema)
+    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)
 
 
 # ---------------------------------------------------------------------------
