@@ -20,17 +20,30 @@ from xorf_spark.queries import TABLES  # noqa: E402
 
 
 def normalize(rows, cols):
+    """Type-aware normalization mirroring the driver: values keep their
+    python type (so an int64 on one side vs a str on the other FAILS, it is
+    not hidden by str()); floats round to 6dp; column order is by name."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
+            if isinstance(v, bool):
+                v = ("bool", v)
+            elif isinstance(v, float):
+                v = ("float", round(v, 6))
+            elif isinstance(v, int):
+                v = ("int", v)
+            elif isinstance(v, (list, tuple)):
+                v = ("list", str(v))
+            elif v is None:
+                v = ("null", "")
+            else:
+                v = (type(v).__name__, str(v))
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
 
 
 def main():

@@ -377,7 +377,7 @@ ORACLE_MINHASH_SIGNATURES = f"""
 WITH w AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 )
-SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_mh_cols}
+SELECT doc_id, {_mh_cols}
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -413,7 +413,7 @@ WITH w AS (
   FROM documents
 ),
 votes AS (SELECT doc_id, {_simhash_votes} FROM w GROUP BY doc_id)
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+SELECT doc_id,
        CAST({_simhash_sum} AS BIGINT) AS simhash16
 FROM votes ORDER BY doc_id
 """
@@ -434,7 +434,7 @@ WITH w AS (
   SELECT doc_id, {_md5long_sql("unnest(string_split(text, ' '))")} AS h
   FROM documents
 )
-SELECT CAST(doc_id AS VARCHAR) AS doc_id, min(h) AS fp_min
+SELECT doc_id, min(h) AS fp_min
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
