@@ -116,6 +116,58 @@ def test_filter_anti_join_equals_exact(spark, token_df):
     assert got == want
 
 
+def test_inline_semijoin_shards_by_default(spark, token_df, monkeypatch):
+    """Scale-safety of the convenience path: with a small
+    ``target_keys_per_shard`` the inline build must produce >1 shard (the old
+    default funneled everything into n_shards=1)."""
+    seen = {}
+    orig = D.build_filter_df
+
+    def spy(keys_df, **kw):
+        seen["n_shards"] = kw.get("n_shards")
+        return orig(keys_df, **kw)
+
+    monkeypatch.setattr(D, "build_filter_df", spy)
+    probe = token_df.limit(500).select("doc_id", "tokens")
+    build = token_df.where(F.col("source") == "books").select("tokens")
+    got = D.filter_semi_join(probe, build, "tokens", "tokens",
+                             target_keys_per_shard=64).count()
+    want = probe.join(build.distinct(), on=probe["tokens"] == build["tokens"],
+                      how="left_semi").count()
+    assert got == want
+    assert seen["n_shards"] is not None and seen["n_shards"] > 1
+
+
+def test_inline_semijoin_cogrouped_above_collect_cap(spark, token_df,
+                                                     monkeypatch):
+    """Above ``max_collect_fp_bytes`` the inline path must NEVER collect the
+    shard table to the driver — probes route through ``probe_cogrouped``."""
+    def boom(*a, **kw):
+        raise AssertionError("driver collect of fingerprints on the big path")
+
+    monkeypatch.setattr(D.FilterTable, "from_df", classmethod(
+        lambda cls, *a, **kw: boom()))
+    probe = token_df.limit(1000).select("doc_id", "tokens")
+    build = token_df.where(F.col("source") == "books").select("tokens")
+    got = D.filter_semi_join(probe, build, "tokens", "tokens",
+                             max_collect_fp_bytes=0).count()
+    want = probe.join(build.distinct(), on=probe["tokens"] == build["tokens"],
+                      how="left_semi").count()
+    assert got == want
+    got_anti = D.filter_anti_join(probe, build, "tokens", "tokens",
+                                  max_collect_fp_bytes=0).count()
+    assert got_anti == probe.count() - want
+
+
+def test_semijoin_backstop_broadcasts_small_build_side(spark, token_df):
+    from xorf_spark.plans.inspect import explain_str
+    probe = token_df.limit(500).select("doc_id", "tokens")
+    build = token_df.where(F.col("source") == "books").select("tokens")
+    plan = explain_str(
+        D.filter_semi_join(probe, build, "tokens", "tokens"), "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_shingle_keys(spark, token_df):
     sk = D.shingle_keys(token_df, k=8)
     # every doc with ≥8 tokens yields size-k+... n-k+1 shingles

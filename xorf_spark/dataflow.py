@@ -86,16 +86,20 @@ def _fp_bits(kind: str) -> int:
     return int(kind.replace("xor", "").replace("bfuse", "").replace("fuse", ""))
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
     """Make ``xorf_spark`` importable on python workers regardless of the
     driver process's cwd/PYTHONPATH: zip the package and ``addPyFile`` it
     (idempotent per SparkContext — the programmatic twin of spark-submit
-    ``--py-files dist/xorf_spark.zip``)."""
+    ``--py-files dist/xorf_spark.zip``).
+
+    Idempotence is keyed by ``applicationId`` (unique per context), NOT
+    ``id(sc)`` — python ids are reused after GC, and a stale hit would skip
+    shipping to a brand-new context."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    if sc.applicationId in _SHIPPED:
         return
     import os
     import tempfile
@@ -114,7 +118,7 @@ def ship_package(spark: SparkSession) -> None:
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, parent))
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(sc.applicationId)
 
 
 # ---------------------------------------------------------------------------
@@ -498,10 +502,74 @@ class FilterTable:
 _TABLE_CACHE: dict = {}
 
 
+#: Above this many estimated fingerprint bytes the inline semi/anti-join stops
+#: collecting the shard table to the driver entirely and routes probes through
+#: the cogrouped shard-local path instead (driver memory never sees the
+#: filter). Below it, ``contains_udf`` still auto-switches broadcast → addFile
+#: mmap at 64 MiB, so the ladder is: broadcast ≤64MB < mmap files ≤4GB <
+#: cogrouped.
+MAX_COLLECT_FP_BYTES = 4 << 30
+
+#: Hint ``F.broadcast`` on the exact-backstop join when the build side has at
+#: most this many distinct keys (8M longs ≈ 64MB hashed relation) instead of
+#: relying on AQE's conservative post-shuffle estimate.
+BROADCAST_JOIN_MAX_KEYS = 8_000_000
+
+
+def _est_fp_bytes(n_keys: int, kind: str) -> int:
+    """Conservative fingerprint-size estimate before building: slot overhead
+    is ≤1.23 (xor) / ≤1.125+32 segs (bfuse/fuse); 1.3 covers all kinds."""
+    return int(n_keys * 1.3) * (_fp_bits(kind) // 8)
+
+
+def _member_flag(probe_df: DataFrame, build_df: DataFrame,
+                 probe_key: str, build_key: str, kind: str,
+                 table: FilterTable | None,
+                 target_keys_per_shard: int,
+                 max_collect_fp_bytes: int,
+                 out_col: str = "__xorf_member") -> tuple[DataFrame, int]:
+    """Probe rows + boolean membership column, routed by filter size.
+
+    Returns ``(flagged_df, n_build_keys)``. ``flagged_df`` keeps the derived
+    ``__xorf_key`` column (caller drops it). Inline builds shard with
+    ``pick_n_shards`` — never the old single-shard funnel — and above
+    ``max_collect_fp_bytes`` the shard table stays distributed
+    (``probe_cogrouped``), so no driver collect at any size.
+    """
+    spark = probe_df.sparkSession
+    probed = doc_keys(probe_df, cols=probe_key, key_col="__xorf_key")
+    if table is not None:
+        udf = table.contains_udf(spark)
+        return (probed.withColumn(out_col, udf(F.col("__xorf_key"))),
+                table.n_keys)
+    keys = doc_keys(build_df.select(build_key), cols=build_key)
+    n_build = keys.count()
+    n_shards = pick_n_shards(n_build, target_keys_per_shard)
+    shard_df = build_filter_df(keys, kind=kind, n_shards=n_shards)
+    if _est_fp_bytes(n_build, kind) <= max_collect_fp_bytes:
+        table = FilterTable.from_df(shard_df, n_shards=n_shards)
+        udf = table.contains_udf(spark)  # auto broadcast→mmap above 64MB
+        return (probed.withColumn(out_col, udf(F.col("__xorf_key"))), n_build)
+    flagged = probe_cogrouped(probed, shard_df, n_shards,
+                              key_col="__xorf_key", out_col=out_col)
+    return flagged, n_build
+
+
+def _build_keys_side(build_df: DataFrame, build_key: str,
+                     n_build: int) -> DataFrame:
+    side = build_df.select(F.col(build_key).alias("__xorf_bk")).distinct()
+    if n_build <= BROADCAST_JOIN_MAX_KEYS:
+        side = F.broadcast(side)
+    return side
+
+
 def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,
                      probe_key: str, build_key: str,
                      table: FilterTable | None = None,
-                     kind: str = "bfuse8", exact: bool = True) -> DataFrame:
+                     kind: str = "bfuse8", exact: bool = True,
+                     target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD,
+                     max_collect_fp_bytes: int = MAX_COLLECT_FP_BYTES
+                     ) -> DataFrame:
     """Membership semi-join: filter pre-pass + (optional) exact backstop.
 
     The filter pass eliminates ~(1-FPP) of non-matching probe rows *before*
@@ -509,18 +577,20 @@ def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,
     residual false positives, so the result equals the exact semi-join — at a
     fraction of the shuffled bytes. This is the distributed analog of the
     reference's "filter in front of slower lookup" pattern (src/lib.rs:2-4).
+
+    Inline builds (no ``table``) are scale-safe by default: sharded with
+    ``pick_n_shards``, probed via broadcast / addFile-mmap / cogrouped
+    depending on filter size (see ``_member_flag``); the exact backstop hints
+    ``F.broadcast`` when the build side is small enough.
     """
-    spark = probe_df.sparkSession
-    if table is None:
-        keys = doc_keys(build_df.select(build_key), cols=build_key)
-        shard_df = build_filter_df(keys, kind=kind, n_shards=1)
-        table = FilterTable.from_df(shard_df, n_shards=1)
-    probed = doc_keys(probe_df, cols=probe_key, key_col="__xorf_key")
-    passed = table.where_member(probed, "__xorf_key").drop("__xorf_key")
+    flagged, n_build = _member_flag(
+        probe_df, build_df, probe_key, build_key, kind, table,
+        target_keys_per_shard, max_collect_fp_bytes)
+    passed = (flagged.where(F.col("__xorf_member"))
+              .drop("__xorf_key", "__xorf_member"))
     if not exact:
         return passed
-    build_keys = build_df.select(F.col(build_key).alias("__xorf_bk")).distinct()
-    return passed.join(build_keys,
+    return passed.join(_build_keys_side(build_df, build_key, n_build),
                        on=F.col(probe_key) == F.col("__xorf_bk"),
                        how="left_semi")
 
@@ -528,21 +598,22 @@ def filter_semi_join(probe_df: DataFrame, build_df: DataFrame,
 def filter_anti_join(probe_df: DataFrame, build_df: DataFrame,
                      probe_key: str, build_key: str,
                      table: FilterTable | None = None,
-                     kind: str = "bfuse8") -> DataFrame:
+                     kind: str = "bfuse8",
+                     target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD,
+                     max_collect_fp_bytes: int = MAX_COLLECT_FP_BYTES
+                     ) -> DataFrame:
     """Exact anti-join accelerated by the filter: rows rejected by the filter
     are *definitely* non-members (zero false negatives) and skip the join;
     only filter-accepted rows (matches + FPP residue) reach the exact
-    anti-join."""
-    if table is None:
-        keys = doc_keys(build_df.select(build_key), cols=build_key)
-        shard_df = build_filter_df(keys, kind=kind, n_shards=1)
-        table = FilterTable.from_df(shard_df, n_shards=1)
-    probed = doc_keys(probe_df, cols=probe_key, key_col="__xorf_key")
-    udf = table.contains_udf(probe_df.sparkSession)
-    rejected = probed.where(~udf(F.col("__xorf_key"))).drop("__xorf_key")
-    candidates = probed.where(udf(F.col("__xorf_key"))).drop("__xorf_key")
-    build_keys = build_df.select(F.col(build_key).alias("__xorf_bk")).distinct()
-    survivors = candidates.join(build_keys,
+    anti-join. Same size-routed inline build as ``filter_semi_join``."""
+    flagged, n_build = _member_flag(
+        probe_df, build_df, probe_key, build_key, kind, table,
+        target_keys_per_shard, max_collect_fp_bytes)
+    rejected = (flagged.where(~F.col("__xorf_member"))
+                .drop("__xorf_key", "__xorf_member"))
+    candidates = (flagged.where(F.col("__xorf_member"))
+                  .drop("__xorf_key", "__xorf_member"))
+    survivors = candidates.join(_build_keys_side(build_df, build_key, n_build),
                                 on=F.col(probe_key) == F.col("__xorf_bk"),
                                 how="left_anti")
     return rejected.unionByName(survivors)
