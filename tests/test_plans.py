@@ -65,3 +65,14 @@ def test_md5long_matches_duckdb(spark):
             "select ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[v]
         ).fetchone()[0]
         assert got[v] == want, v
+
+
+def test_ngram_jaccard_hot_shingles_capped(spark, sf_dir):
+    """The inverted-index self-join must be preceded by the broadcast
+    anti-join that drops document-frequency > NGRAM_MAX_DF shingles — the
+    structural guard against the k² posting-list blowup at corpus scale."""
+    from xorf_spark.queries import q_ngram_jaccard_pairs
+
+    plan = explain_str(q_ngram_jaccard_pairs(spark, sf_dir), "formatted")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -312,9 +312,19 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+NGRAM_MAX_DF = 100
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via distributed inverted-index
-    self-join on 5-word shingles (100% recall, unlike LSH)."""
+    self-join on 5-word shingles (100% recall over informative shingles).
+
+    Scale guard: shingles with document frequency > NGRAM_MAX_DF (boilerplate)
+    are dropped BEFORE the self-join via a broadcast anti-join against the
+    (tiny) hot-shingle set — an uncapped posting list of length k would emit
+    k² join rows, which is the classic inverted-index blowup at corpus scale.
+    Jaccard is then computed over the filtered shingle space (sizes counted
+    after the cap, mirrored exactly in the oracle)."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id"),
@@ -322,6 +332,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
             "i -> array_join(slice(split(text, ' '), i, 5), ' '))"
         )).alias("shingle")).distinct()
+    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > NGRAM_MAX_DF).select("shingle"))
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -339,12 +352,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
                      F.sum("inter").cast("long").alias("sum_inter"))
 
 
-ORACLE_NGRAM_JACCARD_PAIRS = """
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
   FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
 ),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle
+        HAVING count(*) > {NGRAM_MAX_DF}),
+sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
