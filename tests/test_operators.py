@@ -265,3 +265,30 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     rows = spark.sql("select key from exact_dedup").collect()
     keys = [r["key"] for r in rows]
     assert len(keys) == len(set(keys)) == 1500  # 0..1499 exactly once
+
+
+def test_connected_components_planted_clusters(spark):
+    """Planted topology: a 5-chain, a 4-ring, a 2-pair, and a star — labels
+    must converge to the min node id of each component, covering multi-hop
+    propagation (chain diameter 4 needs >1 iteration)."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),          # chain  -> comp 1
+             (10, 11), (11, 12), (12, 13), (13, 10),  # ring   -> comp 10
+             (20, 21),                                # pair   -> comp 20
+             (30, 31), (30, 32), (30, 33)]            # star   -> comp 30
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30}
+    assert got == want
+
+
+def test_connected_components_merges_via_late_edge(spark):
+    """Two clusters bridged by one edge collapse to one component (the
+    transitive-closure property pair-local dedup lacks)."""
+    edges = [(2, 3), (3, 4), (7, 8), (8, 9), (4, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comps = {r["component"] for r in dedup.connected_components(df).collect()}
+    assert comps == {2}

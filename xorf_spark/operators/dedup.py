@@ -129,6 +129,47 @@ def minhash_dedup(df: DataFrame, tokens_col: str = "tokens",
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50
+                         ) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the smallest node
+    id in its component.
+
+    Returns ``(node, component)`` for every node that appears in an edge.
+
+    Scale design: each iteration is one shuffled join + min-aggregate (both
+    AQE-planned); lineage is cut per iteration with an eager
+    ``localCheckpoint`` so the plan does not grow with the iteration count.
+    Convergence needs O(component diameter) iterations — near-dup clusters
+    are shallow (dozens of hops at most), which is why plain propagation
+    beats the log-n large-star/small-star dance for this workload. The loop
+    stops as soon as an iteration changes no label.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .where(F.col("src") != F.col("dst")))
+    sym = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        msgs = (sym.join(labels, sym["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), F.col("label")))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def simhash64(df: DataFrame, tokens_col: str = "tokens",
               out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash per row from xxhash64 of each token, as a single

@@ -315,7 +315,7 @@ FROM documents GROUP BY source ORDER BY source
 NGRAM_MAX_DF = 100
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
+def _ngram_jaccard_edges(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via distributed inverted-index
     self-join on 5-word shingles (100% recall over informative shingles).
 
@@ -345,15 +345,22 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    pairs = (inter.join(sa, "doc_a").join(sb, "doc_b")
-             .where(F.col("inter") * 10 >=
-                    (F.col("na") + F.col("nb") - F.col("inter")) * 1))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .where(F.col("inter") * 10 >=
+                   (F.col("na") + F.col("nb") - F.col("inter")) * 1))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    pairs = _ngram_jaccard_edges(spark, sf_dir)
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
                      F.sum("inter").cast("long").alias("sum_inter"))
 
 
-ORACLE_NGRAM_JACCARD_PAIRS = f"""
-WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: Shared CTE chain ending in ``pairs(doc_a, doc_b, inter)`` — the DuckDB
+#: twin of ``_ngram_jaccard_edges`` (RECURSIVE so the components oracle can
+#: extend it with a recursive walk).
+_NGRAM_PAIRS_CTE = f"""
+WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
   FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
@@ -367,11 +374,48 @@ inter AS (
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+),
+pairs AS (
+  SELECT doc_a, doc_b, inter
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 10 >= (sa.n + sb.n - inter) * 1
+)"""
+
+ORACLE_NGRAM_JACCARD_PAIRS = _NGRAM_PAIRS_CTE + """
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(inter) AS BIGINT) AS sum_inter
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 10 >= (sa.n + sb.n - inter) * 1
+FROM pairs
+"""
+
+
+def q_neardup_components(spark, sf_dir):
+    """Transitive near-dup clustering: connected components (iterative
+    min-label propagation, operators/dedup.py) over the verified exact-Jaccard
+    pair edges — dedups whole duplicate CLUSTERS, not just pairs. Returns one
+    row per component: its id (min doc_id) and member count."""
+    from .operators.dedup import connected_components
+
+    pairs = _ngram_jaccard_edges(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("component"))
+
+
+ORACLE_NEARDUP_COMPONENTS = _NGRAM_PAIRS_CTE + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+comps AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+FROM comps GROUP BY component ORDER BY component
 """
 
 
@@ -750,6 +794,7 @@ def registry() -> dict[str, tuple]:
         "shingle_key_dedup": (q_shingle_key_dedup, ORACLE_SHINGLE_KEY_DEDUP),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+        "neardup_components": (q_neardup_components, ORACLE_NEARDUP_COMPONENTS),
         "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
         "simhash": (q_simhash, ORACLE_SIMHASH),
         "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
