@@ -185,12 +185,57 @@ def test_multimodal_feature_plumbing(spark, docs_df):
         assert again[r["media_id"]] == r["features"]
 
 
-def test_multimodal_real_decode_is_marked(spark, docs_df):
+def test_multimodal_unsupported_format_is_marked(spark, docs_df):
+    """Payloads that are not a stdlib-decodable format (here: raw text bytes
+    posing as images) must fail loudly at the sniff point in real mode."""
     media = multimodal.media_from_documents(docs_df)
     with pytest.raises(Exception) as exc_info:
         multimodal.extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_multimodal_real_decode_png_wav(spark, docs_df):
+    """REAL decode end-to-end in Spark: synthesized PNG and WAV payloads run
+    through extract_features(fake=False) and yield finite deterministic
+    features; stats queries reconstruct exact closed-form values."""
+    docs = docs_df.limit(40)
+    imgs = multimodal.synth_images(docs).withColumnRenamed("doc_id", "media_id") \
+        .withColumn("media_id", F.col("media_id").cast("string"))
+    auds = multimodal.synth_audio(docs).withColumnRenamed("doc_id", "media_id") \
+        .withColumn("media_id", F.col("media_id").cast("string"))
+    media = imgs.unionByName(auds)
+    rows = multimodal.extract_features(media, fake=False).collect()
+    assert len(rows) == 80
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    assert all(np.isfinite(r["features"]).all() for r in rows)
+    # exact stats vs closed forms
+    for r in multimodal.image_stats(multimodal.synth_images(docs)).collect():
+        h, w, c1, c2, _ = multimodal._image_params(r["doc_id"])
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_val"] == pytest.approx(
+            (c1 * (h // 2) + c2 * (h - h // 2)) / h, abs=1e-9)
+    for r in multimodal.audio_stats(multimodal.synth_audio(docs)).collect():
+        amp, period, n, sr = multimodal._audio_params(r["doc_id"])
+        assert r["n_samples"] == n and r["sample_rate"] == sr
+        assert r["rms"] == pytest.approx(amp / 32768.0, abs=1e-12)
+        assert r["n_sign_changes"] == 2 * n // period - 1
+
+
+def test_codecs_roundtrip():
+    from xorf_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    for shape in [(16, 16), (17, 23), (9, 31, 3), (12, 8, 4), (5, 5, 2)]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):  # every PNG filter type
+            assert np.array_equal(
+                codecs.decode_png(codecs.encode_png(arr, ft)), arr)
+    x = rng.integers(-32768, 32768, 4444, dtype=np.int16)
+    y, sr = codecs.decode_wav(codecs.encode_wav(x, 16000))
+    assert sr == 16000 and np.array_equal(x, y)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\xff\xd8\xff\xaa")  # JPEG: honest rejection
 
 
 def test_frame_sample_stub(spark, docs_df):

@@ -722,6 +722,75 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_media_decode_image(spark, sf_dir):
+    """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
+    per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
+    of doc_id, cycling all 5 filter types), decode it back through the
+    stdlib codec (zlib inflate + per-spec unfilter,
+    operators/codecs.py::decode_png) and emit width/height/pixel mean. The
+    oracle recomputes every value from the doc_id formulas — a hash match
+    proves bit-exact pixel reconstruction."""
+    from .operators.multimodal import image_stats, synth_images
+
+    docs = load(spark, sf_dir, "documents")
+    media = synth_images(docs)
+    return (image_stats(media)
+            .select("doc_id", "width", "height", "mean_val")
+            .orderBy("doc_id"))
+
+
+ORACLE_MEDIA_DECODE_IMAGE = """
+WITH p AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS h,
+         16 + doc_id % 13 AS w,
+         doc_id % 256 AS c1,
+         (doc_id * 7) % 256 AS c2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       (c1 * (h // 2) + c2 * (h - h // 2)) / CAST(h AS DOUBLE) AS mean_val
+FROM p ORDER BY doc_id
+"""
+
+
+def q_media_decode_audio(spark, sf_dir):
+    """REAL audio decode, oracle-exact: synthesize a 16-bit PCM WAV square
+    wave per doc_id (amplitude/period/rate closed-form in doc_id, whole
+    periods only), decode through the stdlib codec and emit sample count,
+    rate, RMS (exact: A/32768 for a square wave) and sign-change count
+    (exact: 2n/period - 1)."""
+    from .operators.multimodal import audio_stats, synth_audio
+
+    docs = load(spark, sf_dir, "documents")
+    media = synth_audio(docs)
+    return (audio_stats(media)
+            .select("doc_id", "n_samples", "sample_rate", "rms",
+                    "n_sign_changes")
+            .orderBy("doc_id"))
+
+
+ORACLE_MEDIA_DECODE_AUDIO = """
+WITH p AS (
+  SELECT doc_id,
+         1000 + doc_id % 20000 AS amp,
+         2 * (1 + doc_id % 31) AS period,
+         8000 + (doc_id % 5) * 1000 AS sr
+  FROM documents
+), q AS (
+  SELECT doc_id, amp, period, sr, period * (4096 // period) AS n FROM p
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sr AS INTEGER) AS sample_rate,
+       amp / 32768.0 AS rms,
+       CAST(2 * n // period - 1 AS BIGINT) AS n_sign_changes
+FROM q ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 9. Rows-only queries (not ANSI-SQL-expressible): build metrics & FPP
 # ---------------------------------------------------------------------------
@@ -805,6 +874,8 @@ def registry() -> dict[str, tuple]:
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
         "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
+        "media_decode_image": (q_media_decode_image, ORACLE_MEDIA_DECODE_IMAGE),
+        "media_decode_audio": (q_media_decode_audio, ORACLE_MEDIA_DECODE_AUDIO),
         "build_metrics": (q_build_metrics, None),
         "fpp_measure": (q_fpp_measure, None),
         "zero_density": (q_zero_density, None),
