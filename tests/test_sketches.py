@@ -405,3 +405,64 @@ def test_sql_registered_sketch_udfs(spark, keyed_df):
         "SELECT key, count(*) AS true_n, t_sketch_cms_count(key) AS est "
         "FROM t_dups GROUP BY key").collect()
     assert rows and all(r.est >= r.true_n for r in rows)
+
+
+def test_null_keys_ignored_and_probe_nulls(spark, keyed_df):
+    """SQL null semantics end-to-end: null keys are dropped from keyed-sketch
+    builds (never coerced through float64, which loses 64-bit precision) and
+    probe UDFs return NULL — not key-0's verdict — for NULL inputs."""
+    from xorf_spark.sketches import bloom_contains_udf, cms_estimate_udf
+
+    with_nulls = keyed_df.select(
+        F.when(F.col("key") % 10 == 0, None).otherwise(F.col("key"))
+        .alias("key"))
+    clean = with_nulls.where(F.col("key").isNotNull())
+    g_nulls = grouped_sketch(with_nulls.withColumn("g", F.lit(1)),
+                             ["g"], "key", "hll", {"p": 12}).collect()[0]
+    g_clean = grouped_sketch(clean.withColumn("g", F.lit(1)),
+                             ["g"], "key", "hll", {"p": 12}).collect()[0]
+    assert bytes(g_nulls["payload"]) == bytes(g_clean["payload"])
+    assert g_nulls["n_rows"] == clean.count()
+
+    bl = sketch_agg(clean, "key", "bloom", {"n_bits": 1 << 21, "k": 7})
+    budf = bloom_contains_udf(spark, bl)
+    probe = with_nulls.withColumn("m", budf("key"))
+    assert probe.where(F.col("key").isNull()
+                       & F.col("m").isNotNull()).count() == 0
+    assert probe.where(F.col("key").isNotNull() & ~F.col("m")).count() == 0
+
+    cms = sketch_agg(clean, "key", "cms", {"width": 4096, "depth": 5})
+    cudf = cms_estimate_udf(spark, cms)
+    est = with_nulls.withColumn("e", cudf("key"))
+    assert est.where(F.col("key").isNull()
+                     & F.col("e").isNotNull()).count() == 0
+
+
+def test_filter_probe_null_semantics(spark, keyed_df):
+    from xorf_spark import dataflow as D
+
+    shard_df = D.build_filter_df(keyed_df.select("key"), kind="bfuse8",
+                                 n_shards=4)
+    table = D.FilterTable.from_df(shard_df, n_shards=4)
+    with_nulls = keyed_df.select(
+        F.when(F.col("key") % 10 == 0, None).otherwise(F.col("key"))
+        .alias("key"))
+    udf = table.contains_udf(spark)
+    probe = with_nulls.withColumn("m", udf("key"))
+    assert probe.where(F.col("key").isNull()
+                       & F.col("m").isNotNull()).count() == 0
+    assert probe.where(F.col("key").isNotNull() & ~F.col("m")).count() == 0
+
+
+def test_sketch_cache_bounded():
+    from xorf_spark.sketches import dataflow as SD
+
+    class FakeBC:
+        def __init__(self, payload):
+            self.value = payload
+
+    payload = HyperLogLog(p=8).to_bytes()
+    SD._SKETCH_CACHE.clear()
+    for i in range(SD._SKETCH_CACHE_MAX * 3):
+        SD._cached(f"tag{i}", FakeBC(payload))
+    assert len(SD._SKETCH_CACHE) <= SD._SKETCH_CACHE_MAX

@@ -447,8 +447,7 @@ class FilterTable:
                     rows, n_shards = bc.value
                     table = FilterTable(rows, n_shards)
                     _TABLE_CACHE[cache_tag] = table
-                arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-                return pd.Series(table.contains_np(arr))
+                return _probe_null_masked(table, keys)
 
             return _contains
 
@@ -484,8 +483,7 @@ class FilterTable:
                     rows[sid] = r
                 table = FilterTable(rows, n_shards)
                 _TABLE_CACHE[tag] = table
-            arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-            return pd.Series(table.contains_np(arr))
+            return _probe_null_masked(table, keys)
 
         return _contains_mmap
 
@@ -500,6 +498,17 @@ class FilterTable:
 
 
 _TABLE_CACHE: dict = {}
+
+
+def _probe_null_masked(table: "FilterTable", keys: pd.Series) -> pd.Series:
+    """SQL null semantics for membership probes: ``contains(NULL) IS NULL``,
+    never key-0's verdict (the old ``na_value=0`` behavior could silently
+    pass NULL-keyed rows through a WHERE clause)."""
+    mask = keys.isna().to_numpy()
+    arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
+    out = pd.Series(table.contains_np(arr), dtype="boolean")
+    out[mask] = pd.NA
+    return out
 
 
 #: Above this many estimated fingerprint bytes the inline semi/anti-join stops
@@ -635,8 +644,11 @@ def probe_cogrouped(probe_df: DataFrame, shard_df: DataFrame,
             pkeys[out_col] = False
             return pkeys
         fn = _filter_from_row(shard.iloc[0].to_dict())
+        mask = pkeys[key_col].isna().to_numpy()
         arr = pkeys[key_col].to_numpy(np.int64, na_value=0).view(np.uint64)
-        pkeys[out_col] = fn(arr)
+        verdict = pd.Series(fn(arr), index=pkeys.index, dtype="boolean")
+        verdict[mask] = pd.NA
+        pkeys[out_col] = verdict
         return pkeys
 
     return (probes.groupBy("shard_id")

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import time
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -196,9 +197,31 @@ def _headline(kind: str, sk) -> float:
 
 
 def _col_to_arr(vals: pd.Series, kind: str) -> np.ndarray:
-    vals = vals.dropna()
-    return (vals.to_numpy(np.int64).view(np.uint64)
-            if kind in KEYED_KINDS else vals.to_numpy(np.float64))
+    if kind in KEYED_KINDS:
+        # Arrow hands a long column containing ANY null to pandas as float64,
+        # and float64 cannot represent all 64-bit keys (low bits lost ⇒
+        # silent false negatives for Bloom, diverged HLL/CMS state). The
+        # public entry points filter nulls DataFrame-side before the pandas
+        # boundary (_drop_null_keys); anything non-integer arriving here is a
+        # contract violation we refuse rather than corrupt.
+        if not np.issubdtype(vals.dtype, np.integer):
+            raise TypeError(
+                f"keyed sketch ({kind}) input column must reach the worker "
+                f"as int64, got dtype={vals.dtype}. A long column with "
+                "nulls converts to float64 and would corrupt 64-bit keys — "
+                "filter nulls before sketching (the built-in entry points "
+                "do this automatically).")
+        return vals.to_numpy(np.int64).view(np.uint64)
+    return vals.dropna().to_numpy(np.float64)
+
+
+def _drop_null_keys(df: DataFrame, col: str, kind: str) -> DataFrame:
+    """Keyed sketches: drop null keys DataFrame-side (JVM filter) so the
+    pandas boundary never sees a nullable long → float64 conversion. Matches
+    the Arrow path (partial_sketches), which drop_null()s per batch."""
+    if kind in KEYED_KINDS:
+        return df.where(F.col(col).isNotNull())
+    return df
 
 
 def grouped_sketch(df: DataFrame, group_cols: list[str], col: str, kind: str,
@@ -218,6 +241,7 @@ def grouped_sketch(df: DataFrame, group_cols: list[str], col: str, kind: str,
     payloads shuffle into a per-group merge. Keyed-sketch output state is
     byte-identical to the single-phase build (max/sum/or merges)."""
     params = dict(params or {})
+    df = _drop_null_keys(df, col, kind)
     key_fields = [df.schema[c] for c in group_cols]
     out_schema = StructType(key_fields + [
         StructField("payload", BinaryType(), False),
@@ -301,9 +325,7 @@ def _bucket_build_fn(kind: str, params: dict, col: str):
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         sk = make_sketch(kind, **params)
-        vals = pdf[col].dropna()
-        arr = (vals.to_numpy(np.int64).view(np.uint64)
-               if kind in KEYED_KINDS else vals.to_numpy(np.float64))
+        arr = _col_to_arr(pdf[col], kind)
         # input-sorted ⇒ payload bytes are a pure function of bucket content,
         # so a resumed build is byte-identical to an uninterrupted one
         _feed(sk, kind, np.sort(arr))
@@ -328,7 +350,8 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
                     .select("part_id").distinct().collect()}
         except Exception:
             done = set()
-    bucketed = df.select(F.col(col).alias(col)).withColumn(
+    bucketed = _drop_null_keys(
+        df.select(F.col(col).alias(col)), col, kind).withColumn(
         "__bucket", bucket_col(col, kind, n_buckets))
     if done:
         bucketed = bucketed.where(~F.col("__bucket").isin(list(done)))
@@ -358,7 +381,11 @@ def sketch_from_table(spark: SparkSession, path: str):
 # Probe-side UDFs (broadcast sketch → vectorized pandas UDF)
 # ---------------------------------------------------------------------------
 
-_SKETCH_CACHE: dict = {}
+#: Worker-side deserialized-sketch cache. Bounded (LRU): a long-lived
+#: executor that keeps creating probe UDFs (e.g. rebuilding a t-digest per
+#: training batch) must not accumulate dead sketches forever.
+_SKETCH_CACHE: "OrderedDict[str, object]" = OrderedDict()
+_SKETCH_CACHE_MAX = 32
 
 
 def _cached(tag: str, bc):
@@ -368,7 +395,20 @@ def _cached(tag: str, bc):
     if sk is None:
         sk = sketch_from_bytes(bc.value)
         _SKETCH_CACHE[tag] = sk
+        while len(_SKETCH_CACHE) > _SKETCH_CACHE_MAX:
+            _SKETCH_CACHE.popitem(last=False)
+    else:
+        _SKETCH_CACHE.move_to_end(tag)
     return sk
+
+
+def _keys_with_null_mask(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 keys, null mask). Null positions get key 0 in the array but
+    MUST be masked out of the result (SQL semantics: f(NULL) IS NULL) —
+    probing them as literal key 0 would return key-0's answer."""
+    mask = keys.isna().to_numpy()
+    arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
+    return arr, mask
 
 
 def cms_estimate_udf(spark: SparkSession, cms):
@@ -383,8 +423,10 @@ def cms_estimate_udf(spark: SparkSession, cms):
     @pandas_udf("long")
     def _est(keys: pd.Series) -> pd.Series:
         sk = _cached(tag, bc)
-        arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-        return pd.Series(sk.estimate_hashes(arr))
+        arr, mask = _keys_with_null_mask(keys)
+        out = pd.Series(sk.estimate_hashes(arr), dtype="Int64")
+        out[mask] = pd.NA
+        return out
 
     return _est
 
@@ -421,7 +463,9 @@ def bloom_contains_udf(spark: SparkSession, bloom):
     @pandas_udf("boolean")
     def _contains(keys: pd.Series) -> pd.Series:
         sk = _cached(tag, bc)
-        arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-        return pd.Series(sk.contains_hashes(arr))
+        arr, mask = _keys_with_null_mask(keys)
+        out = pd.Series(sk.contains_hashes(arr), dtype="boolean")
+        out[mask] = pd.NA
+        return out
 
     return _contains
