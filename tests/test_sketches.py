@@ -466,3 +466,18 @@ def test_sketch_cache_bounded():
     for i in range(SD._SKETCH_CACHE_MAX * 3):
         SD._cached(f"tag{i}", FakeBC(payload))
     assert len(SD._SKETCH_CACHE) <= SD._SKETCH_CACHE_MAX
+
+
+def test_kll_weight_conservation():
+    """Canonical odd-size compaction rule: total retained weight must equal
+    n exactly after arbitrary adds and merges (no per-compaction drift)."""
+    from xorf_spark.sketches import KLL
+
+    rng = np.random.default_rng(11)
+    sk = KLL(k=128)
+    for _ in range(40):
+        sk.add(rng.standard_normal(50_000))
+    merged = KLL(k=128).add(rng.standard_normal(123_457)).merge(sk)
+    for s in (sk, merged):
+        total = sum((1 << h) * a.size for h, a in enumerate(s.levels))
+        assert total == s.n

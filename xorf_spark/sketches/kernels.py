@@ -388,8 +388,18 @@ class KLL:
             if over is None:
                 return self
             arr = np.sort(self.levels[over])
+            keep = np.empty(0, dtype=np.float64)
+            if arr.size % 2 == 1:
+                # canonical KLL odd-size rule: retain one item at this level
+                # (random end) and compact only the even remainder, so total
+                # retained weight equals n EXACTLY instead of drifting by one
+                # weight unit per odd compaction
+                if self._coin():
+                    keep, arr = arr[:1], arr[1:]
+                else:
+                    keep, arr = arr[-1:], arr[:-1]
             kept = arr[self._coin()::2]
-            self.levels[over] = np.empty(0, dtype=np.float64)
+            self.levels[over] = keep
             if over + 1 == len(self.levels):
                 self.levels.append(kept)
             else:
