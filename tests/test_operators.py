@@ -337,3 +337,61 @@ def test_connected_components_merges_via_late_edge(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     comps = {r["component"] for r in dedup.connected_components(df).collect()}
     assert comps == {2}
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+        self.n_updates = 0
+        self.exists = False
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def get(self):
+        return (self._v,)
+
+    def update(self, tup):
+        self._v = tup[0]
+        self.n_updates += 1
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def setTimeoutDuration(self, d):
+        self.timeout_set = d
+
+
+def test_stateful_dedup_skips_state_rewrite_on_stale_batch():
+    """An all-duplicate micro-batch must not rewrite the (potentially large)
+    state blob — O(|state|) store I/O for zero new information."""
+    import pandas as pd
+    from xorf_spark.streaming.stateful_dedup import _make_dedup_fn
+
+    fn = _make_dedup_fn(None)
+    st = _FakeGroupState()
+    batch = [pd.DataFrame({"key": [1, 2, 3]})]
+    out = list(fn((0,), iter(batch), st))
+    assert st.n_updates == 1 and len(out) == 1
+    # same keys again: no fresh keys -> no state rewrite, no output
+    out2 = list(fn((0,), iter(batch), st))
+    assert st.n_updates == 1 and out2 == []
+    # fresh key arrives -> exactly one more rewrite
+    out3 = list(fn((0,), iter([pd.DataFrame({"key": [3, 9]})]), st))
+    assert st.n_updates == 2 and out3[0]["key"].tolist() == [9]
+
+
+def test_stateful_dedup_retention_ttl():
+    import pandas as pd
+    from xorf_spark.streaming.stateful_dedup import _make_dedup_fn
+
+    fn = _make_dedup_fn("1 hour")
+    st = _FakeGroupState()
+    list(fn((0,), iter([pd.DataFrame({"key": [5]})]), st))
+    assert st.timeout_set == "1 hour"
+    st.hasTimedOut = True
+    assert list(fn((0,), iter([]), st)) == []
+    assert st.removed

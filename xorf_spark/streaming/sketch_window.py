@@ -41,9 +41,12 @@ _OUT_SCHEMA = StructType([
 ])
 
 
-def _make_fold_fn(p: int):
+def _make_fold_fn(p: int, retention=None):
     def fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
              ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             (blob,) = state.get
             hll = sketch_from_bytes(blob)
@@ -57,6 +60,8 @@ def _make_fold_fn(p: int):
             hll.add_hashes(keys)
             n += int(keys.size)
         state.update((hll.to_bytes(),))
+        if retention is not None:
+            state.setTimeoutDuration(retention)
         yield pd.DataFrame([{
             "group": key[0],
             "window_start": int(key[1]),
@@ -69,21 +74,31 @@ def _make_fold_fn(p: int):
 
 def stream_windowed_hll(stream_df: DataFrame, key_col: str,
                         group_col: str, ts_col: str = "ts",
-                        window: str = "1 hour", p: int = 12) -> DataFrame:
+                        window: str = "1 hour", p: int = 12,
+                        retention: str | int | None = None) -> DataFrame:
     """Running approximate distinct-count per (group, event-time window).
 
     ``key_col`` must be a 64-bit key column (derive with ``xxhash64``).
     Emits one update row per touched (group, window) per micro-batch with
     the running HLL estimate — 2^p bytes of state per group-window instead
     of the unbounded exact-distinct set.
+
+    On an unbounded stream with advancing event time, one 2^p-byte entry
+    per (group, window) still accumulates forever; pass ``retention`` (a
+    processing-time TTL per entry, e.g. ``"6 hours"`` — idle entries past it
+    are evicted) to bound total state at
+    active_group_windows × 2^p bytes. Default keeps every window alive
+    (NoTimeout) for bounded group-window cardinality.
     """
     bucketed = stream_df.select(
         F.col(key_col).alias("key"),
         F.col(group_col).cast("string").alias("group"),
         F.unix_timestamp(F.window(F.col(ts_col), window).start)
         .alias("window_start"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if retention is not None else GroupStateTimeout.NoTimeout)
     return (bucketed.groupBy("group", "window_start")
             .applyInPandasWithState(
-                _make_fold_fn(p), _OUT_SCHEMA, _STATE_SCHEMA,
+                _make_fold_fn(p, retention), _OUT_SCHEMA, _STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))
