@@ -58,7 +58,7 @@ def _sort_by_low32(h: np.ndarray) -> np.ndarray:
 
 
 def _peel(counts: np.ndarray, hxor: np.ndarray, idx3_fn, n: int,
-          posxor: np.ndarray | None = None):
+          posxor: np.ndarray | None = None, sorted_scatter: bool = True):
     """Frontier-based vectorized peel of the 3-uniform hypergraph.
 
     Each round removes *every* currently-singleton key at once; only slots
@@ -82,6 +82,35 @@ def _peel(counts: np.ndarray, hxor: np.ndarray, idx3_fn, n: int,
         rounds.append((uh, sel, fnd))
         total += int(uh.size)
         j0, j1, j2 = idx3_fn(uh)
+        m = int(uh.size)
+        if sorted_scatter:
+            # Packed sort + segmented xor/count reductions instead of six
+            # ufunc.at scatters (default): pack
+            # (slot_index << rowbits | source_row) into a uint64, np.sort it
+            # (2-3x faster than argsort's indirection), reduce per-slot
+            # duplicates with bitwise_xor.reduceat. Interleaved A/B at 8M
+            # keys: xor peel 6.06s vs 6.71s scatter, bfuse 4.19s vs 4.59s —
+            # and the sequential sort degrades less under DRAM contention
+            # than random scatters. Profile: scripts/xor_scaling_probe.py.
+            rowbits = max((3 * m - 1).bit_length(), 1)
+            idx = np.concatenate((j0, j1, j2)).astype(np.uint64, copy=False)
+            packed = (idx << np.uint64(rowbits)) | np.arange(
+                3 * m, dtype=np.uint64)
+            packed.sort()
+            sidx = packed >> np.uint64(rowbits)
+            rows = (packed & np.uint64((1 << rowbits) - 1)).astype(np.int64)
+            starts = np.flatnonzero(
+                np.concatenate(([True], sidx[1:] != sidx[:-1])))
+            uidx = sidx[starts]
+            hxor[uidx] ^= np.bitwise_xor.reduceat(uh[rows % m], starts)
+            slot_n = np.diff(np.append(starts, sidx.size)).astype(counts.dtype)
+            counts[uidx] -= slot_n
+            if posxor is not None:
+                # source code (0 for j0, 1 for j1, 2 for j2) = row's third
+                posxor[uidx] ^= np.bitwise_xor.reduceat(
+                    (rows // m).astype(np.uint8), starts)
+            frontier = uidx[counts[uidx] == 1]
+            continue
         np.subtract.at(counts, j0, 1)
         np.subtract.at(counts, j1, 1)
         np.subtract.at(counts, j2, 1)
