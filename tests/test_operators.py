@@ -395,3 +395,33 @@ def test_stateful_dedup_retention_ttl():
     st.hasTimedOut = True
     assert list(fn((0,), iter([]), st)) == []
     assert st.removed
+
+
+def test_ivf_topk_exact_at_full_probe(spark, emb_df):
+    """nprobe == n_lists degenerates IVF to exact brute force — results must
+    match brute_force_topk row for row."""
+    cent = similarity.ivf_train(emb_df, n_lists=8, sample_size=500, seed=13)
+    qs = emb_df.where(F.col("vec_id") < 3)
+    got = {(r["qid"], r["rank"]): r["nid"]
+           for r in similarity.ivf_topk(emb_df, qs, cent, k=5, nprobe=8)
+           .collect()}
+    want = {(r["qid"], r["rank"]): r["nid"]
+            for r in similarity.brute_force_topk(emb_df, qs, k=5).collect()}
+    assert got == want
+
+
+def test_ivf_topk_recall_on_planted_neighbors(spark, emb_df):
+    rows = emb_df.limit(20).collect()
+    rng = np.random.default_rng(3)
+    planted = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v + rng.standard_normal(v.size) * 0.02 * np.linalg.norm(v) / np.sqrt(v.size)
+        planted.append(Row(vec_id=int(r["vec_id"]) + 50_000,
+                           embedding=[float(x) for x in v], label=r["label"]))
+    qs = spark.createDataFrame(planted, emb_df.schema)
+    cent = similarity.ivf_train(emb_df, n_lists=8, sample_size=1000, seed=13)
+    got = similarity.ivf_topk(emb_df, qs, cent, k=3, nprobe=3).collect()
+    hit = sum(1 for r in got
+              if r["rank"] == 1 and r["nid"] == r["qid"] - 50_000)
+    assert hit >= 18, f"IVF recovered only {hit}/20 planted neighbors"

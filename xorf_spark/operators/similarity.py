@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,6 +82,94 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                .select("qid", "qe", "nid", "ne"))
         cand = hit if cand is None else cand.unionByName(hit)
     pairs = (cand.distinct()
+             .select("qid", "nid", _cosine("qe", "ne").alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic alternative scale path to LSH
+# ---------------------------------------------------------------------------
+#
+# Train: spherical k-means on a deterministic hash-ordered sample collected
+# to the driver (IVF training is sample-based by design — ~10^4-10^6 training
+# vectors regardless of corpus size, so this step is scale-independent).
+# Assign: broadcast the small centroid matrix into an Arrow-batched pandas
+# UDF (one matmul per batch — no per-row Python). Search: queries probe their
+# ``nprobe`` nearest lists; candidates co-locate by a shuffle on list_id
+# (each task sees only its lists' vectors), exact cosine rerank, top-k.
+
+
+def ivf_train(corpus: DataFrame, n_lists: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_size: int = 20_000, iters: int = 8,
+              seed: int = 13) -> np.ndarray:
+    """Spherical k-means centroids (unit-norm, cosine geometry) trained on
+    the ``sample_size`` corpus rows with the smallest ``xxhash64(id)`` — a
+    deterministic uniform sample fetched with TakeOrdered (no full sort)."""
+    rows = (corpus.select(F.col(vec_col).alias("e"),
+                          F.xxhash64(F.col(id_col)).alias("h"))
+            .orderBy("h").limit(sample_size).collect())
+    X = np.array([r["e"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if members.size == 0:  # reseed dead list to the worst-served point
+                cent[j] = X[np.argmin(sims.max(axis=1))]
+            else:
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def _assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: embedding -> array of the nprobe nearest list ids
+    (cosine), one matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _assign
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               out_col: str = "list_id") -> DataFrame:
+    """Corpus-side assignment: each vector to its single nearest list."""
+    udf = _assign_udf(centroids, 1)
+    return df.withColumn(out_col, udf(F.col(vec_col)).getItem(0))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: np.ndarray,
+             k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k through the IVF index: each query probes its
+    ``nprobe`` nearest lists, candidates co-locate by list_id, exact rerank.
+    Returned cosines are exact; recall grows with nprobe (nprobe == n_lists
+    degenerates to exact brute force)."""
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("nid"),
+                      F.col(vec_col).alias("ne")), centroids, "ne")
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qe"))
+    qp = q.withColumn("list_id", F.explode(
+        _assign_udf(centroids, nprobe)(F.col("qe"))))
+    pairs = (c.join(F.broadcast(qp), "list_id")
+             .where(F.col("qid") != F.col("nid"))
              .select("qid", "nid", _cosine("qe", "ne").alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -722,6 +722,46 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF-ANN recall gate (approximate-operator oracle pattern): run IVF
+    top-5 (spherical-k-means lists, nprobe=6 of 8) for the first 10 query
+    vectors, compare against exact brute force INSIDE the query, and emit
+    exact counts plus a recall@5 >= 0.9 boolean. The oracle reproduces the
+    exact counts in SQL and asserts the boolean literally (k-means itself is
+    not SQL-expressible; its quality contract is)."""
+    from .operators.similarity import brute_force_topk, ivf_topk, ivf_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    cent = ivf_train(emb, n_lists=8, sample_size=2000, seed=13)
+    approx = (ivf_topk(emb, qs, cent, k=5, nprobe=6)
+              .select("qid", "nid"))
+    exact = (brute_force_topk(emb, qs, k=5)
+             .select("qid", "nid"))
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    return spark.createDataFrame(
+        [(10, int(n_exact), bool(n_hit >= 0.9 * n_exact))],
+        "n_queries int, n_exact_pairs bigint, recall_ok boolean")
+
+
+ORACLE_ANN_IVF_RECALL = """
+SELECT CAST(10 AS INTEGER) AS n_queries,
+       CAST((SELECT count(*) FROM (
+          SELECT qid, e.vec_id AS nid,
+                 row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qe, e.emb) DESC, e.vec_id
+                 ) AS rank
+          FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 10) q,
+               (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+          WHERE qid != e.vec_id) t
+        WHERE rank <= 5) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok
+"""
+
+
 def q_media_decode_image(spark, sf_dir):
     """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
     per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
@@ -871,6 +911,7 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+        "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
         "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
