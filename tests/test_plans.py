@@ -76,3 +76,23 @@ def test_ngram_jaccard_hot_shingles_capped(spark, sf_dir):
     plan = explain_str(q_ngram_jaccard_pairs(spark, sf_dir), "formatted")
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_plot_zero_density_svg(spark, tmp_path):
+    """plot_zeroes counterpart: sliding zero-count series rendered as a
+    dependency-free SVG (reference analysis/src/zeroes.rs:24-36 +
+    analysis/plot_zeroes)."""
+    from xorf_spark.analysis import plot_zero_density, zero_density_series
+
+    keys = (spark.range(300_000)
+            .select(F.xxhash64("id").alias("key")))
+    shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=2)
+    series = {r["shard_id"]: r["series"]
+              for r in zero_density_series(shard_df).collect()}
+    assert len(series) == 2
+    for s in series.values():
+        assert len(s) > 10
+        assert all(0 <= v <= 2000 for v in s)
+    out = plot_zero_density(shard_df, str(tmp_path / "zeroes.svg"))
+    svg = open(out).read()
+    assert svg.startswith("<svg") and svg.count("<polyline") == 2
