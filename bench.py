@@ -92,6 +92,29 @@ def main() -> None:
     timings["sketch_tdigest"] = round(secs, 3)
     tdigest_rate = (n_keys // 4) / secs
 
+    # --- clean-regime probe: driver-built table (no python shuffle stage has
+    # run yet), so this is probe capability uncontaminated by the JVM-global
+    # python-feed slowdown that the builds below trigger (see sketch note).
+    import numpy as np
+
+    from xorf_spark import build as B
+
+    _pk = (np.arange(1, 8_000_001, dtype=np.uint64)
+           * np.uint64(0x9E3779B97F4A7C15))
+    _r = B.build_binary_fuse(_pk, 8)
+    _row = {"shard_id": 0, "kind": "bfuse8",
+            "seed": int(np.uint64(_r.seed).view(np.int64)),
+            "segment_length": _r.params["segment_length"],
+            "segment_length_mask": _r.params["segment_length_mask"],
+            "segment_count_length": _r.params["segment_count_length"],
+            "fingerprints": _r.fingerprints.tobytes(),
+            "n_keys": 8_000_000, "block_length": None}
+    _table = D.FilterTable({0: _row}, 1)
+    _probes = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
+    secs, _ = best_of(lambda: _table.where_member(_probes, "key").count())
+    timings["probe_bfuse8_clean"] = round(secs, 3)
+    probe_clean_rate = n_keys / secs
+
     # Warm up JVM JIT, shuffle paths and python workers with an uncounted
     # build (steady-state measurement; first-ever job pays one-time C2/JIT
     # compilation that a long-running cluster job never sees again).
@@ -156,6 +179,7 @@ def main() -> None:
         "derived": {
             "xor8_build_keys_per_sec": round(xor_build_rate),
             "bfuse8_probe_lookups_per_sec": round(probe_rate),
+            "bfuse8_probe_clean_lookups_per_sec": round(probe_clean_rate),
             "bfuse8_measured_fpp": fpp,
             "token_pipeline_shingle_keys_per_sec": round(shingle_rate),
             "token_pipeline_distinct_shingles": int(shingle_keys_built),

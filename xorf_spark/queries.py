@@ -326,22 +326,29 @@ def _ngram_jaccard_edges(spark, sf_dir):
     Jaccard is then computed over the filtered shingle space (sizes counted
     after the cap, mirrored exactly in the oracle)."""
     docs = load(spark, sf_dir, "documents")
+    # within-doc array_distinct == global (doc_id, shingle) distinct (doc_id
+    # is unique per row), so no distinct() shuffle is needed at all
     sh = docs.select(
         F.col("doc_id"),
-        F.explode(F.expr(
+        F.explode(F.array_distinct(F.expr(
             "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
             "i -> array_join(slice(split(text, ' '), i, 5), ' '))"
-        )).alias("shingle")).distinct()
+        ))).alias("shingle"))
     hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > NGRAM_MAX_DF).select("shingle"))
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, "shingle")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # posting-list pair expansion INSIDE each shingle group (lists are
+    # capped at NGRAM_MAX_DF docs, so the k² expansion is bounded per
+    # group) — replaces the shuffled inverted-index self-join entirely
+    inter = (kept.groupBy("shingle")
+             .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(docs, (a, i) -> "
+                 "transform(slice(docs, i + 2, size(docs)), "
+                 "b -> struct(a AS doc_a, b AS doc_b))))")).alias("p"))
+             .select("p.doc_a", "p.doc_b")
+             .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))

@@ -402,13 +402,18 @@ def _cached(tag: str, bc):
     return sk
 
 
-def _keys_with_null_mask(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(uint64 keys, null mask). Null positions get key 0 in the array but
-    MUST be masked out of the result (SQL semantics: f(NULL) IS NULL) —
-    probing them as literal key 0 would return key-0's answer."""
+def _keys_with_null_mask(keys: pd.Series
+                         ) -> tuple[np.ndarray, np.ndarray | None]:
+    """(uint64 keys, null mask | None). Null positions get key 0 in the
+    array but MUST be masked out of the result (SQL semantics: f(NULL) IS
+    NULL) — probing them as literal key 0 would return key-0's answer.
+    ``mask is None`` signals a null-free batch so callers can skip the
+    (slow) nullable-array conversion — the common case."""
+    if keys.dtype == np.int64:
+        return keys.to_numpy(np.int64).view(np.uint64), None
     mask = keys.isna().to_numpy()
     arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-    return arr, mask
+    return arr, (mask if mask.any() else None)
 
 
 def cms_estimate_udf(spark: SparkSession, cms):
@@ -424,6 +429,8 @@ def cms_estimate_udf(spark: SparkSession, cms):
     def _est(keys: pd.Series) -> pd.Series:
         sk = _cached(tag, bc)
         arr, mask = _keys_with_null_mask(keys)
+        if mask is None:
+            return pd.Series(sk.estimate_hashes(arr))
         out = pd.Series(sk.estimate_hashes(arr), dtype="Int64")
         out[mask] = pd.NA
         return out
@@ -464,6 +471,8 @@ def bloom_contains_udf(spark: SparkSession, bloom):
     def _contains(keys: pd.Series) -> pd.Series:
         sk = _cached(tag, bc)
         arr, mask = _keys_with_null_mask(keys)
+        if mask is None:
+            return pd.Series(sk.contains_hashes(arr))
         out = pd.Series(sk.contains_hashes(arr), dtype="boolean")
         out[mask] = pd.NA
         return out
