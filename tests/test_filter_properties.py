@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the filter family — the reference's
+core contract quantified over arbitrary key sets instead of fixed fixtures:
+zero false negatives always (src/lib.rs:117-119), DMA round-trips preserve
+probe semantics, and duplicate handling matches each family's documented
+behavior (xor/fuse pre-dedup; bfuse detect-and-drop, src/prelude/bfuse.rs:200-215).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xorf_spark import filters as X
+
+key_arrays = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    min_size=1, max_size=400, unique=True,
+).map(lambda xs: np.array(xs, dtype=np.uint64))
+
+# edge-heavy pool: 0, MAX, dense low ints, powers of two
+edge_arrays = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=64),
+        st.sampled_from([0, 1, 2**32 - 1, 2**32, 2**63, 2**64 - 1]),
+        st.builds(lambda e: 2**e, st.integers(min_value=0, max_value=63)),
+    ),
+    min_size=1, max_size=120, unique=True,
+).map(lambda xs: np.array(xs, dtype=np.uint64))
+
+
+@pytest.mark.parametrize("cls", [X.Xor8, X.Xor16, X.Xor32,
+                                 X.BinaryFuse8, X.BinaryFuse16,
+                                 X.BinaryFuse32])
+@settings(max_examples=30, deadline=None)
+@given(keys=st.one_of(key_arrays, edge_arrays))
+def test_zero_false_negatives_property(cls, keys):
+    filt = cls.from_keys(keys)
+    assert np.asarray(filt.contains(keys)).all()
+
+
+@pytest.mark.parametrize("cls", [X.Xor8, X.BinaryFuse8, X.BinaryFuse16])
+@settings(max_examples=15, deadline=None)
+@given(keys=key_arrays)
+def test_dma_roundtrip_property(cls, keys):
+    filt = cls.from_keys(keys)
+    desc, fps = filt.to_dma()
+    back = cls.from_dma(desc, fps)
+    assert np.asarray(back.contains(keys)).all()
+    rng = np.random.default_rng(7)
+    fresh = rng.integers(0, 2**64, 2000, dtype=np.uint64)
+    assert np.array_equal(np.asarray(back.contains(fresh)),
+                          np.asarray(filt.contains(fresh)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(keys=st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                     min_size=1, max_size=200)
+       .map(lambda xs: np.array(xs, dtype=np.uint64)))
+def test_bfuse_duplicate_drop_property(keys):
+    """BinaryFuse accepts duplicate keys (detect-and-drop) and still has
+    zero FN on the distinct set."""
+    dup = np.concatenate([keys, keys[: max(1, keys.size // 2)]])
+    filt = X.BinaryFuse8.from_keys(dup)
+    assert np.asarray(filt.contains(np.unique(keys))).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                      max_size=150, unique=True))
+def test_hash_proxy_strings_property(words):
+    proxy = X.HashProxy.from_keys(words)
+    assert np.asarray(proxy.contains(words)).all()
