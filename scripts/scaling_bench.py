@@ -329,6 +329,11 @@ def main():
         "  embarrassingly parallel with zero cross-shard communication, and",
         "  the dataflow's one shuffle (key column by hash prefix) has",
         "  per-executor cost that *decreases* with cluster size.",
+        "- `sketch_tdigest` is the extreme case of feed-bound: its numpy",
+        "  kernel costs 0.75s single-core for the whole input (64 partials",
+        "  + all merges, measured Spark-free) — the multi-second Spark wall",
+        "  time is ~100% the serial Arrow feed, so its ratio cannot move in",
+        "  local mode at this input size.",
         "",
         "Raw per-level results:",
         "",
