@@ -72,3 +72,23 @@ def test_bfuse_duplicate_drop_property(keys):
 def test_hash_proxy_strings_property(words):
     proxy = X.HashProxy.from_keys(words)
     assert np.asarray(proxy.contains(words)).all()
+
+
+@pytest.mark.parametrize("cls", [X.Xor8, X.Xor32, X.BinaryFuse8,
+                                 X.BinaryFuse16, X.Fuse16])
+def test_json_serde_roundtrip(cls):
+    """The serde-feature role: whole-struct to_json/from_json preserves all
+    probe verdicts (member + fresh) for every family."""
+    from xorf_spark.filters import filter_from_json, filter_to_json
+
+    rng = np.random.default_rng(21)
+    n = 300_000 if cls.KIND.startswith("fuse") else 5_000
+    keys = rng.integers(0, 2**64, n, dtype=np.uint64)
+    filt = cls.from_keys(np.unique(keys))
+    back = filter_from_json(filter_to_json(filt))
+    assert type(back) is cls
+    sub = np.unique(keys)[:50_000]
+    assert np.asarray(back.contains(sub)).all()
+    fresh = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
+    assert np.array_equal(np.asarray(back.contains(fresh)),
+                          np.asarray(filt.contains(fresh)))

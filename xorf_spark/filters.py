@@ -211,6 +211,34 @@ FILTER_CLASSES = {c.KIND: c for c in
                    Fuse8, Fuse16, Fuse32)}
 
 
+def filter_to_json(filt) -> str:
+    """Whole-struct serialization, the role of the reference's ``serde``
+    feature (Serialize/Deserialize derives + serde_bytes fingerprints,
+    e.g. src/bfuse8.rs:65-73): kind + DMA descriptor + base64 fingerprint
+    bytes in one self-describing document."""
+    import base64
+    import json
+
+    desc, fps = filt.to_dma()
+    return json.dumps({
+        "kind": filt.KIND,
+        "n_keys": int(getattr(filt, "n_keys", 0)),
+        "descriptor": desc.hex(),
+        "fingerprints": base64.b64encode(fps).decode("ascii"),
+    })
+
+
+def filter_from_json(doc: str):
+    import base64
+    import json
+
+    d = json.loads(doc)
+    cls = FILTER_CLASSES[d["kind"]]
+    return cls.from_dma(bytes.fromhex(d["descriptor"]),
+                        base64.b64decode(d["fingerprints"]),
+                        n_keys=d.get("n_keys", 0))
+
+
 def _default_hash64(values) -> np.ndarray:
     """Deterministic 64-bit hash of arbitrary python values (strings/bytes),
     vectorized batch-wise. Plays the reference Hasher role in HashProxy

@@ -24,14 +24,15 @@ def register_sql_udfs(spark: SparkSession, table: FilterTable,
 
 
 def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
-                         prefix: str = "sketch") -> None:
+                         tdigest=None, prefix: str = "sketch") -> None:
     """Register sketch probe UDFs as SQL-callable functions:
 
-        register_sketch_udfs(spark, bloom=bl, cms=cm)
+        register_sketch_udfs(spark, bloom=bl, cms=cm, tdigest=td)
         spark.sql("SELECT * FROM t WHERE sketch_bloom_contains(xxhash64(k))")
         spark.sql("SELECT sketch_cms_count(xxhash64(k)) FROM t")
+        spark.sql("SELECT * FROM t WHERE sketch_tdigest_cdf(len) BETWEEN 0.1 AND 0.9")
     """
-    from ..sketches import bloom_contains_udf, cms_estimate_udf
+    from ..sketches import bloom_contains_udf, cms_estimate_udf, tdigest_cdf_udf
 
     if bloom is not None:
         spark.udf.register(f"{prefix}_bloom_contains",
@@ -39,6 +40,9 @@ def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
     if cms is not None:
         spark.udf.register(f"{prefix}_cms_count",
                            cms_estimate_udf(spark, cms))
+    if tdigest is not None:
+        spark.udf.register(f"{prefix}_tdigest_cdf",
+                           tdigest_cdf_udf(spark, tdigest))
 
 
 def md5long(col) -> Column:
