@@ -1,1 +1,2 @@
+from .tables import iceberg_available, load_table  # noqa: F401
 from .token_table import docs_tokens, tokens_from_documents  # noqa: F401
