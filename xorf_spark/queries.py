@@ -337,12 +337,18 @@ def _ngram_jaccard_edges(spark, sf_dir):
     hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > NGRAM_MAX_DF).select("shingle"))
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # ONE aggregate materializes the capped posting lists; both downstream
+    # consumers (per-doc sizes AND the pair expansion) read it, so the
+    # corpus-scan+shuffle subplan is shared (ReuseExchange) instead of each
+    # branch re-scanning the corpus.
+    grouped = (kept.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("docs")))
+    sizes = (grouped.select(F.explode("docs").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     # posting-list pair expansion INSIDE each shingle group (lists are
     # capped at NGRAM_MAX_DF docs, so the k² expansion is bounded per
     # group) — replaces the shuffled inverted-index self-join entirely
-    inter = (kept.groupBy("shingle")
-             .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    inter = (grouped
              .select(F.explode(F.expr(
                  "flatten(transform(docs, (a, i) -> "
                  "transform(slice(docs, i + 2, size(docs)), "
