@@ -170,3 +170,51 @@ def test_bfuse_build_parity(bits):
             "bfuse%d arrays differ byte-wise (peel-order dependent solution); "
             "seed/layout/probe parity asserted above" % bits
         )
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: PYTHON-built artifact probed by the actual Rust reference
+# ---------------------------------------------------------------------------
+
+CARGO_DIR = os.path.join(os.path.dirname(__file__), "..", "rust_fixtures")
+
+
+@pytest.mark.parametrize("bits", [8, 16, 32])
+def test_python_build_probes_in_rust(bits):
+    """Interchangeability, reverse direction: serialize a Python-built
+    BinaryFuse filter via to_dma() and have the REFERENCE's from_dma +
+    contains probe it — zero FN on members and the exact alien FP pattern
+    the Python kernels predict. Builds the verifier with the offline cargo
+    setup in rust_fixtures/ (skips if cargo is unavailable)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("cargo") is None:
+        pytest.skip("cargo not available")
+    target = os.environ.get("XORF_CARGO_TARGET", "/tmp/rust_fixtures_target")
+    build = subprocess.run(
+        ["cargo", "build", "--release", "--offline", "--bin", "verify_dma"],
+        cwd=CARGO_DIR, env={**os.environ, "CARGO_TARGET_DIR": target},
+        capture_output=True, text=True, timeout=300)
+    if build.returncode != 0:
+        pytest.skip(f"cargo build failed offline: {build.stderr[-300:]}")
+
+    cls = getattr(X, f"BinaryFuse{bits}")
+    keys = member_keys()
+    filt = cls.from_keys(keys, uniform_random=False)
+    desc, fps = filt.to_dma()
+    alien = np.asarray(filt.contains(alien_keys()))
+    doc = json.dumps({
+        "kind": f"bfuse{bits}",
+        "desc_hex": desc.hex(),
+        "fps_hex": fps.hex(),
+        "n_keys": N,
+        "mult": str(int(MULT)),
+        "alien_hex": np.packbits(alien, bitorder="little").tobytes().hex(),
+    })
+    run = subprocess.run([os.path.join(target, "release", "verify_dma")],
+                         input=doc, capture_output=True, text=True,
+                         timeout=60)
+    assert run.returncode == 0 and run.stdout.strip() == "OK", (
+        f"reference rejected the Python-built filter: "
+        f"{run.stdout} {run.stderr[-200:]}")
