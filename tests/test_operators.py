@@ -425,3 +425,12 @@ def test_ivf_topk_recall_on_planted_neighbors(spark, emb_df):
     hit = sum(1 for r in got
               if r["rank"] == 1 and r["nid"] == r["qid"] - 50_000)
     assert hit >= 18, f"IVF recovered only {hit}/20 planted neighbors"
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    edges = [(1, 2), (2, 3), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(
+               df, checkpoint_dir=str(tmp_path / "cc")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}

@@ -130,8 +130,8 @@ def minhash_dedup(df: DataFrame, tokens_col: str = "tokens",
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 50
-                         ) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node's label converges to the smallest node
     id in its component.
@@ -140,27 +140,35 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Scale design: each iteration is one shuffled join + min-aggregate (both
     AQE-planned); lineage is cut per iteration with an eager
-    ``localCheckpoint`` so the plan does not grow with the iteration count.
-    Convergence needs O(component diameter) iterations — near-dup clusters
-    are shallow (dozens of hops at most), which is why plain propagation
-    beats the log-n large-star/small-star dance for this workload. The loop
-    stops as soon as an iteration changes no label.
+    ``localCheckpoint`` so the plan does not grow with the iteration count
+    (pass ``checkpoint_dir`` to use reliable HDFS/S3 checkpoints instead —
+    localCheckpoint state dies with a lost executor, fine on local mode,
+    not on a multi-hour cluster run). Convergence needs O(component
+    diameter) iterations — near-dup clusters are shallow (dozens of hops at
+    most), which is why plain propagation beats the log-n
+    large-star/small-star dance for this workload. The loop stops as soon
+    as an iteration changes no label.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint(eager=True))
+
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .where(F.col("src") != F.col("dst")))
-    sym = (e.union(e.select(F.col("dst").alias("src"),
-                            F.col("src").alias("dst")))
-           .distinct()
-           .localCheckpoint(eager=True))
+    sym = cut(e.union(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+              .distinct())
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), F.col("label")))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels = cut(labels.unionByName(msgs)
+                         .groupBy("node").agg(F.min("label").alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.label") != F.col("o.label")).count())
