@@ -136,6 +136,19 @@ def main() -> None:
     timings["build_xor8"] = round(secs, 3)
     xor_build_rate = xor_keys / secs
 
+    # staged build: JVM shuffle → parquet stage, then a shuffle-free python
+    # stage reading its own shard files (decouples the Arrow feed; at
+    # cluster scale the materialization barrier also buys elastic retry)
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="xorf_stage_")
+    secs, staged_keys = best_of(
+        lambda: D.build_filter_df_staged(keys, stage_dir, kind="bfuse8",
+                                         n_shards=n_shards)
+        .agg(F.sum("n_keys")).collect()[0][0])
+    timings["build_bfuse8_staged"] = round(secs, 3)
+    staged_build_rate = staged_keys / secs
+
     # --- probe throughput ----------------------------------------------------
     shard_bf = D.build_filter_df(keys, kind="bfuse8", n_shards=n_shards).cache()
     shard_bf.count()
@@ -178,6 +191,7 @@ def main() -> None:
         "queries": timings,
         "derived": {
             "xor8_build_keys_per_sec": round(xor_build_rate),
+            "bfuse8_staged_build_keys_per_sec": round(staged_build_rate),
             "bfuse8_probe_lookups_per_sec": round(probe_rate),
             "bfuse8_probe_clean_lookups_per_sec": round(probe_clean_rate),
             "bfuse8_measured_fpp": fpp,

@@ -219,3 +219,19 @@ def test_skew_defusal_plan(spark, token_df):
     counts = np.array([r["count"] for r in sizes], dtype=float)
     assert counts.size == 8
     assert counts.max() / counts.min() < 1.3  # near-uniform
+
+
+def test_staged_build_equals_oneshot(spark, token_df, tmp_path):
+    """build_filter_df_staged (JVM shuffle→parquet stage + file-reading
+    python stage) must produce byte-identical shards to the one-shot build
+    (same seed schedule, same per-shard key sets)."""
+    keys = D.doc_keys(token_df).select("key")
+    one = {r["shard_id"]: (r["seed"], r["n_keys"], bytes(r["fingerprints"]))
+           for r in D.build_filter_df(
+               keys, kind="bfuse8", n_shards=4,
+               uniform_random=False).collect()}
+    staged = {r["shard_id"]: (r["seed"], r["n_keys"], bytes(r["fingerprints"]))
+              for r in D.build_filter_df_staged(
+                  keys, str(tmp_path / "stage"), kind="bfuse8", n_shards=4,
+                  uniform_random=False).collect()}
+    assert staged == one

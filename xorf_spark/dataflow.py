@@ -286,6 +286,64 @@ def build_filter_df(keys_df: DataFrame, kind: str = "bfuse8",
         _build_shard_fn(kind, uniform_random), SHARD_SCHEMA)
 
 
+def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
+                           kind: str = "bfuse8", n_shards: int | None = None,
+                           key_col: str = "key",
+                           uniform_random: bool = True) -> DataFrame:
+    """Two-stage build that decouples the shuffle from the Python kernel:
+
+    1. pure-JVM stage: project → repartition by hash-prefix shard →
+       ``write.partitionBy(shard_id)`` parquet under ``stage_dir`` (all
+       whole-stage codegen; no Python touches a row);
+    2. shuffle-free Python stage: one task per shard id reads ITS OWN
+       parquet files directly with pyarrow and runs the numpy construction.
+
+    Why: feeding a shuffled 64-bit key stream from the JVM into Python
+    workers is the measured bottleneck of the one-shot build (and in
+    local mode it also triggers a JVM-global slowdown of later python-feed
+    stages — BENCH/BASELINE.md "Reading these numbers"). Staging through
+    parquet turns that feed into a columnar file read on the worker side
+    (page-cache-speed locally; S3/HDFS at cluster scale, where the
+    materialization barrier also buys elastic retry/rescheduling between
+    the two stages — the classic staged-pipeline trade).
+    """
+    spark = keys_df.sparkSession
+    keys = keys_df.select(F.col(key_col).alias("key"))
+    if n_shards is None:
+        n_shards = pick_n_shards(keys.count())
+    (keys.withColumn("shard_id", shard_id_col("key", n_shards))
+     .repartition(n_shards, "shard_id")
+     .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
+
+    fp_bits = _fp_bits(kind)
+    shard_ids = [int(r.shard_id) for r in
+                 spark.read.parquet(stage_dir)
+                 .select("shard_id").distinct().collect()]
+    tasks = spark.createDataFrame([(s,) for s in shard_ids],
+                                  "shard_id int").repartition(len(shard_ids),
+                                                              "shard_id")
+
+    def build_from_files(batches):
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for sid in pdf["shard_id"]:
+                sid = int(sid)
+                files = sorted(_glob.glob(
+                    f"{stage_dir}/shard_id={sid}/*.parquet"))
+                tbl = _pq.read_table(files, columns=["key"])
+                arr = tbl.column("key").combine_chunks().to_numpy(
+                    zero_copy_only=False).view(np.uint64)
+                row = _build_shard_row(kind, fp_bits, sid, arr,
+                                       uniform_random, time.time())
+                yield pd.DataFrame(
+                    [row], columns=[f.name for f in SHARD_SCHEMA.fields])
+
+    return tasks.mapInPandas(build_from_files, SHARD_SCHEMA)
+
+
 def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
                        n_shards: int | None = None, key_col: str = "key",
                        resume: bool = True, **kw) -> DataFrame:
