@@ -162,20 +162,24 @@ def main() -> None:
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
     shard_bf.unpersist()
 
-    # --- sf-table queries ----------------------------------------------------
-    timed("flagship_semijoin",
-          lambda: Q.q_bfuse8_semijoin(spark, sf_dir).collect())
-    timed("ngram_jaccard_pairs",
-          lambda: Q.q_ngram_jaccard_pairs(spark, sf_dir).collect())
-    timed("ann_cosine_topk",
-          lambda: Q.q_ann_cosine_topk(spark, sf_dir).collect())
+    # --- sf-table queries (best-of-repeats: the first run of a query pays
+    # one-time whole-stage-codegen compilation — seconds for the big nested
+    # array lambdas — that a steady-state workload never sees again) -------
+    secs, _ = best_of(lambda: Q.q_bfuse8_semijoin(spark, sf_dir).collect())
+    timings["flagship_semijoin"] = round(secs, 3)
+    secs, _ = best_of(lambda: Q.q_ngram_jaccard_pairs(spark, sf_dir).collect())
+    timings["ngram_jaccard_pairs"] = round(secs, 3)
+    secs, _ = best_of(lambda: Q.q_ann_cosine_topk(spark, sf_dir).collect())
+    timings["ann_cosine_topk"] = round(secs, 3)
 
     # token pipeline end-to-end: synthesize 100k docs → 8-token shingle keys →
     # exact dedup → sharded bfuse8 build
     def token_pipeline():
         tok = docs_tokens(spark, 100_000, partitions=64)
         sk = D.shingle_keys(tok, k=8).select("key")
-        shard = D.build_filter_df(sk, kind="bfuse8", n_shards=n_shards)
+        shard = D.build_filter_df_staged(
+            sk, tempfile.mkdtemp(prefix="xorf_tok_stage_"), kind="bfuse8",
+            n_shards=n_shards)
         return shard.agg(F.sum("n_keys")).collect()[0][0]
 
     shingle_keys_built = timed("token_pipeline_100k_docs", token_pipeline)
