@@ -434,3 +434,34 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
            for r in dedup.connected_components(
                df, checkpoint_dir=str(tmp_path / "cc")).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_minhash_dedup_clusters_transitive(spark):
+    """Cluster dedup vs pair-local dedup on a planted 'hub' topology:
+    A~C and B~C are near-dups but A~B is below threshold. Pair-local keeps
+    B (its only verified pair has a larger id); cluster dedup collapses the
+    whole component to A."""
+    base = list(range(200))
+    mk = lambda repl: [t if not (100 <= i < 100 + len(repl)) else repl[i - 100]
+                       for i, t in enumerate(base)]
+    A = base
+    C = mk([10_000 + i for i in range(15)])             # half the block
+    B = mk([10_000 + i for i in range(15)] + [20_000 + i for i in range(15)])
+    df = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, tokens array<int>")
+
+    th = 0.75
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.exact_jaccard(
+               df, spark.createDataFrame(
+                   [(1, 3), (2, 3), (1, 2)], "id_a long, id_b long"),
+               shingle=3).collect()}
+    # planted topology really holds (self-validating)
+    assert jac[(1, 3)] >= th and jac[(2, 3)] >= th and jac[(1, 2)] < th, jac
+
+    pair_kept = {r["doc_id"] for r in dedup.minhash_dedup(
+        df, threshold=th, num_perm=64, bands=32).collect()}
+    cluster_kept = {r["doc_id"] for r in dedup.minhash_dedup_clusters(
+        df, threshold=th, num_perm=64, bands=32).collect()}
+    assert cluster_kept == {1}
+    assert pair_kept == {1, 2}  # pair-local misses the transitive dup

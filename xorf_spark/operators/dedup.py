@@ -114,12 +114,11 @@ def minhash_dedup(df: DataFrame, tokens_col: str = "tokens",
                   id_col: str = "doc_id", threshold: float = 0.8,
                   num_perm: int = 64, bands: int = 16,
                   shingle: int = 3) -> DataFrame:
-    """Full MinHash-LSH near-dup removal: signature → banded candidates →
-    exact-jaccard verification → drop the higher id of each verified pair.
-
-    (Pair-local policy, not transitive closure — each surviving row has no
-    verified near-dup with a smaller id among the candidates; iterative
-    connected components would need a loop of joins.)
+    """MinHash-LSH near-dup removal, pair-local policy: signature → banded
+    candidates → exact-jaccard verification → drop the higher id of each
+    verified pair. Each surviving row has no verified near-dup with a
+    smaller id among the candidates; for whole-CLUSTER dedup (transitive
+    closure) use ``minhash_dedup_clusters``.
     """
     sigs = minhash_signatures(df, tokens_col, num_perm, shingle)
     cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
@@ -127,6 +126,33 @@ def minhash_dedup(df: DataFrame, tokens_col: str = "tokens",
                 .where(F.col("jaccard") >= threshold))
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup_clusters(df: DataFrame, tokens_col: str = "tokens",
+                           id_col: str = "doc_id", threshold: float = 0.8,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle: int = 3, max_iter: int = 50,
+                           checkpoint_dir: str | None = None) -> DataFrame:
+    """Cluster-level MinHash-LSH dedup (the production corpus-dedup policy):
+    verified near-dup pairs form an edge list, ``connected_components``
+    closes it transitively, and exactly ONE representative per duplicate
+    cluster survives (the min id) — chains a~b~c collapse even when a and c
+    never shared a bucket.
+
+    Note: ids are compared as longs inside the component step, so
+    ``id_col`` must be (castable to) an integral id.
+    """
+    sigs = minhash_signatures(df, tokens_col, num_perm, shingle)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands)
+    verified = (exact_jaccard(df, cands, tokens_col, id_col, shingle)
+                .where(F.col("jaccard") >= threshold))
+    comp = connected_components(verified, "id_a", "id_b", max_iter,
+                                checkpoint_dir)
+    losers = (comp.where(F.col("node") != F.col("component"))
+              .select(F.col("node").alias(id_col)))
+    return df.join(losers,
+                   df[id_col].cast("long") == losers[id_col],
+                   "left_anti")
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
