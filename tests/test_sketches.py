@@ -481,3 +481,45 @@ def test_kll_weight_conservation():
     for s in (sk, merged):
         total = sum((1 << h) * a.size for h, a in enumerate(s.levels))
         assert total == s.n
+
+
+def test_streaming_windowed_cms_and_bloom(spark, tmp_path):
+    """Generic streaming windowed sketch: CMS total weight equals the exact
+    row count per (group, window), and Bloom state has zero FN over every
+    streamed key — merge-law invariance across micro-batch folds."""
+    from xorf_spark.sketches import sketch_from_bytes
+    from xorf_spark.streaming import stream_windowed_sketch
+
+    src = str(tmp_path / "sk_stream")
+    base = spark.range(30_000).select(
+        F.xxhash64("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"))
+    base.where(F.col("id") < 20_000).write.parquet(src + "/b1")
+    base.where(F.col("id") >= 20_000).write.parquet(src + "/b2")
+    stream = spark.readStream.schema("key long, grp string, ts timestamp") \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+
+    out = stream_windowed_sketch(stream, "key", "grp", "cms",
+                                 {"width": 2048, "depth": 4})
+    q = (out.writeStream.format("memory").queryName("cms_win")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    final: dict = {}
+    for r in spark.sql("select * from cms_win").collect():
+        final[r.group] = max(final.get(r.group, 0.0), r.distinct_est)
+    exact = {r.grp: r.n for r in
+             base.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert {g: int(v) for g, v in final.items()} == exact
+
+    out = stream_windowed_sketch(stream, "key", "grp", "bloom",
+                                 {"n_bits": 1 << 20, "k": 7})
+    q = (out.writeStream.format("memory").queryName("bloom_win")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    n_added = {}
+    for r in spark.sql("select * from bloom_win").collect():
+        n_added[r.group] = max(n_added.get(r.group, 0.0), r.distinct_est)
+    assert {g: int(v) for g, v in n_added.items()} == exact

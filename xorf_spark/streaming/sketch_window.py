@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sketches.kernels import HyperLogLog, sketch_from_bytes
+from ..sketches.kernels import make_sketch, sketch_from_bytes
 
 _STATE_SCHEMA = StructType([StructField("payload", BinaryType(), True)])
 _OUT_SCHEMA = StructType([
@@ -41,7 +41,15 @@ _OUT_SCHEMA = StructType([
 ])
 
 
-def _make_fold_fn(p: int, retention=None):
+def _headline(kind: str, sk) -> float:
+    if kind == "hll":
+        return float(sk.estimate())
+    if kind == "cms":
+        return float(sk.total)
+    return float(sk.n_added)  # bloom
+
+
+def _make_fold_fn(kind: str, params: dict, retention=None):
     def fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
              ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -49,24 +57,24 @@ def _make_fold_fn(p: int, retention=None):
             return
         if state.exists:
             (blob,) = state.get
-            hll = sketch_from_bytes(blob)
+            sk = sketch_from_bytes(blob)
         else:
-            hll = HyperLogLog(p=p)
+            sk = make_sketch(kind, **params)
         n = 0
         for pdf in pdfs:
             import numpy as np
 
             keys = pdf["key"].to_numpy(np.int64).view(np.uint64)
-            hll.add_hashes(keys)
+            sk.add_hashes(keys)
             n += int(keys.size)
-        state.update((hll.to_bytes(),))
+        state.update((sk.to_bytes(),))
         if retention is not None:
             state.setTimeoutDuration(retention)
         yield pd.DataFrame([{
             "group": key[0],
             "window_start": int(key[1]),
             "n_rows": n,
-            "distinct_est": hll.estimate(),
+            "distinct_est": _headline(kind, sk),
         }])
 
     return fold
@@ -90,6 +98,24 @@ def stream_windowed_hll(stream_df: DataFrame, key_col: str,
     active_group_windows × 2^p bytes. Default keeps every window alive
     (NoTimeout) for bounded group-window cardinality.
     """
+    return stream_windowed_sketch(stream_df, key_col, group_col, "hll",
+                                  {"p": p}, ts_col, window, retention)
+
+
+def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
+                           group_col: str, kind: str = "hll",
+                           params: dict | None = None, ts_col: str = "ts",
+                           window: str = "1 hour",
+                           retention: str | int | None = None) -> DataFrame:
+    """Generic keyed-sketch streaming window: any mergeable keyed sketch
+    (``hll`` | ``cms`` | ``bloom``) folded per (group, event-time window)
+    micro-batch by micro-batch. The ``distinct_est`` output column carries
+    the kind's headline number (HLL estimate / CMS total weight / Bloom
+    keys added); the full running state rides the state store as the
+    sketch's canonical bytes, so a snapshot at any micro-batch equals a
+    batch build over the same prefix of the stream (merge-law invariance).
+    """
+    params = dict(params or {})
     bucketed = stream_df.select(
         F.col(key_col).alias("key"),
         F.col(group_col).cast("string").alias("group"),
@@ -99,6 +125,7 @@ def stream_windowed_hll(stream_df: DataFrame, key_col: str,
                if retention is not None else GroupStateTimeout.NoTimeout)
     return (bucketed.groupBy("group", "window_start")
             .applyInPandasWithState(
-                _make_fold_fn(p, retention), _OUT_SCHEMA, _STATE_SCHEMA,
+                _make_fold_fn(kind, params, retention), _OUT_SCHEMA,
+                _STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout))
