@@ -235,3 +235,22 @@ def test_staged_build_equals_oneshot(spark, token_df, tmp_path):
                   keys, str(tmp_path / "stage"), kind="bfuse8", n_shards=4,
                   uniform_random=False).collect()}
     assert staged == one
+
+
+def test_staged_resumable_table(spark, token_df, tmp_path):
+    """Checkpoint-resume through the staged path: half-committed table +
+    staged resume == clean build, byte-identical shards."""
+    keys = D.doc_keys(token_df).select("key")
+    clean = {r["shard_id"]: bytes(r["fingerprints"])
+             for r in D.build_filter_df(keys, kind="bfuse8", n_shards=4,
+                                        uniform_random=False).collect()}
+    path = str(tmp_path / "tbl")
+    # pretend shards 0 and 1 were committed by an interrupted run
+    full = D.build_filter_df(keys, kind="bfuse8", n_shards=4,
+                             uniform_random=False)
+    full.where(F.col("shard_id") < 2).write.parquet(path)
+    out = D.build_filter_table(keys, path, kind="bfuse8", n_shards=4,
+                               stage_dir=str(tmp_path / "stage"),
+                               uniform_random=False)
+    got = {r["shard_id"]: bytes(r["fingerprints"]) for r in out.collect()}
+    assert got == clean

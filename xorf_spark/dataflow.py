@@ -346,13 +346,19 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
 
 def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
                        n_shards: int | None = None, key_col: str = "key",
-                       resume: bool = True, **kw) -> DataFrame:
+                       resume: bool = True, stage_dir: str | None = None,
+                       **kw) -> DataFrame:
     """Checkpoint-resumable build: writes the shard table as parquet.
 
     Shards are append-only and deterministic (fixed seed schedule from
     splitmix64 state 1 + per-shard fp-init seed), so a restarted job
     anti-joins the already-committed shard ids and only builds the missing
     ones — the final table is identical to an uninterrupted run.
+
+    Pass ``stage_dir`` to route the pending shards through
+    ``build_filter_df_staged`` (JVM shuffle → parquet stage + shuffle-free
+    python file-read stage — the faster path; see that function). Resume
+    semantics are identical: pending keys are filtered before staging.
     """
     spark = keys_df.sparkSession
     done_ids: set[int] = set()
@@ -373,8 +379,14 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
     if done_ids:
         pending = keys_df.where(
             ~shard_id_col(key_col, n_shards).isin(list(done_ids)))
-    shard_df = build_filter_df(pending, kind=kind, n_shards=n_shards,
-                               key_col=key_col, **kw)
+    if stage_dir is not None:
+        shard_df = build_filter_df_staged(
+            pending, stage_dir, kind=kind, n_shards=n_shards,
+            key_col=key_col,
+            uniform_random=kw.get("uniform_random", True))
+    else:
+        shard_df = build_filter_df(pending, kind=kind, n_shards=n_shards,
+                                   key_col=key_col, **kw)
     if done_ids:
         shard_df = shard_df.where(~F.col("shard_id").isin(list(done_ids)))
     shard_df.write.mode("append").parquet(path)
