@@ -465,3 +465,28 @@ def test_minhash_dedup_clusters_transitive(spark):
         df, threshold=th, num_perm=64, bands=32).collect()}
     assert cluster_kept == {1}
     assert pair_kept == {1, 2}  # pair-local misses the transitive dup
+
+
+def test_gopher_rules_synthetic(spark):
+    """Gopher rules on synthetic docs exercising every feature (the test
+    corpus has no newlines/bullets/symbols): a clean doc passes, a looping
+    doc trips the dup-ngram rules, a bullet list trips bullet_line_frac,
+    a symbol-heavy doc trips symbol_word_ratio."""
+    docs = [
+        (1, "the quick brown fox jumps over a lazy dog near the river bank"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "- one thing\n- two thing\n- three thing\n- four thing"),
+        (4, "# # # # price ## cost # # # # # # # value # # # # # #"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["dup_2gram_frac"] > 0.8 and out[2]["gopher_pass"] is False
+    assert out[3]["bullet_line_frac"] == 1.0 and out[3]["gopher_pass"] is False
+    assert out[4]["symbol_word_ratio"] > 0.5 and out[4]["gopher_pass"] is False
+    # ellipsis lines
+    e = spark.createDataFrame(
+        [(5, "read more...\nand then...\nthe end...")],
+        "doc_id long, text string")
+    r5 = text.gopher_rules(e).collect()[0]
+    assert r5["ellipsis_line_frac"] == 1.0 and r5["gopher_pass"] is False

@@ -78,6 +78,57 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
                             f"'{BPE_ISH}', 0)"))))
 
 
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape quality rules (Rae et al. 2021, table
+    A1 — the standard web-corpus filter battery), all Catalyst expressions:
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of n-gram
+      occurrences that are repeats (1 - distinct/total) — boilerplate and
+      looping text score high;
+    - ``symbol_word_ratio``: '#'/'…'-style symbols per word;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of lines that
+      are bullets / end in ellipsis;
+    - ``alpha_word_frac``: fraction of words containing a letter;
+    - ``gopher_pass``: the conjunction with the published thresholds.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+
+    def dup_frac(n: int):
+        grams = F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, "
+            f"'\\\\s+')) - {n - 1}, 0)), "
+            f"j -> array_join(slice(split({text_col}, '\\\\s+'), j, {n}), ' '))")
+        total = F.greatest(F.size(grams), F.lit(1))
+        return (total - F.size(F.array_distinct(grams))) / total
+
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*([-\*•]|\d+[\.\)])\s"))) / n_lines
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    symbols = (F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[#…]", ""))) / n_words
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+
+    out = (df
+           .withColumn("dup_2gram_frac", F.round(dup_frac(2), 4))
+           .withColumn("dup_3gram_frac", F.round(dup_frac(3), 4))
+           .withColumn("symbol_word_ratio", F.round(symbols, 4))
+           .withColumn("bullet_line_frac", F.round(bullet, 4))
+           .withColumn("ellipsis_line_frac", F.round(ellipsis, 4))
+           .withColumn("alpha_word_frac", F.round(alpha, 4)))
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("dup_2gram_frac") <= 0.20)
+        & (F.col("dup_3gram_frac") <= 0.18)
+        & (F.col("symbol_word_ratio") <= 0.10)
+        & (F.col("bullet_line_frac") <= 0.90)
+        & (F.col("ellipsis_line_frac") <= 0.30)
+        & (F.col("alpha_word_frac") >= 0.80))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     out_col: str = "fingerprint", k: int = 4) -> DataFrame:
     """Rolling-hash document fingerprint: min xxhash64 over k-word windows

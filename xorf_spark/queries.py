@@ -775,6 +775,68 @@ SELECT CAST(10 AS INTEGER) AS n_queries,
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style repetition/shape quality rules (Rae et al. 2021) per
+    document, oracle-exact: duplicate 2/3-gram fractions, symbol/word
+    ratio, bullet/ellipsis line fractions, alphabetic word fraction, and
+    the pass verdict — all Catalyst expressions, recomputed in SQL."""
+    from .operators.text import gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    return (gopher_rules(docs)
+            .select("doc_id", "dup_2gram_frac", "dup_3gram_frac",
+                    "symbol_word_ratio", "bullet_line_frac",
+                    "ellipsis_line_frac", "alpha_word_frac", "gopher_pass")
+            .orderBy("doc_id"))
+
+
+ORACLE_GOPHER_RULES = r"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, words, lines,
+         greatest(len(words), 1) AS n_words,
+         greatest(len(lines), 1) AS n_lines,
+         [array_to_string(words[i:i+1], ' ')
+          FOR i IN range(1, greatest(len(words) - 1, 0) + 1)] AS g2,
+         [array_to_string(words[i:i+2], ' ')
+          FOR i IN range(1, greatest(len(words) - 2, 0) + 1)] AS g3
+  FROM w
+)
+SELECT doc_id,
+  round((greatest(len(g2),1) - len(list_distinct(g2)))
+        / CAST(greatest(len(g2),1) AS DOUBLE), 4) AS dup_2gram_frac,
+  round((greatest(len(g3),1) - len(list_distinct(g3)))
+        / CAST(greatest(len(g3),1) AS DOUBLE), 4) AS dup_3gram_frac,
+  round((strlen(text) - strlen(replace(replace(text, '#', ''), '…', '')))
+        / CAST(n_words AS DOUBLE), 4) AS symbol_word_ratio,
+  round(len(list_filter(lines, ln -> regexp_matches(ln,
+        '^\s*([-\*•]|\d+[\.\)])\s')))
+        / CAST(n_lines AS DOUBLE), 4) AS bullet_line_frac,
+  round(len(list_filter(lines, ln -> regexp_matches(ln,
+        '(\.\.\.|…)\s*$')))
+        / CAST(n_lines AS DOUBLE), 4) AS ellipsis_line_frac,
+  round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        / CAST(n_words AS DOUBLE), 4) AS alpha_word_frac,
+  ((greatest(len(g2),1) - len(list_distinct(g2)))
+     / CAST(greatest(len(g2),1) AS DOUBLE) <= 0.20
+   AND (greatest(len(g3),1) - len(list_distinct(g3)))
+     / CAST(greatest(len(g3),1) AS DOUBLE) <= 0.18
+   AND (strlen(text) - strlen(replace(replace(text, '#', ''), '…', '')))
+     / CAST(n_words AS DOUBLE) <= 0.10
+   AND len(list_filter(lines, ln -> regexp_matches(ln,
+        '^\s*([-\*•]|\d+[\.\)])\s'))) / CAST(n_lines AS DOUBLE) <= 0.90
+   AND len(list_filter(lines, ln -> regexp_matches(ln,
+        '(\.\.\.|…)\s*$'))) / CAST(n_lines AS DOUBLE) <= 0.30
+   AND len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+     / CAST(n_words AS DOUBLE) >= 0.80) AS gopher_pass
+FROM g ORDER BY doc_id
+"""
+
+
 def q_media_decode_image(spark, sf_dir):
     """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
     per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
@@ -921,6 +983,7 @@ def registry() -> dict[str, tuple]:
         "simhash": (q_simhash, ORACLE_SIMHASH),
         "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+        "gopher_rules": (q_gopher_rules, ORACLE_GOPHER_RULES),
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
