@@ -490,3 +490,43 @@ def test_gopher_rules_synthetic(spark):
         "doc_id long, text string")
     r5 = text.gopher_rules(e).collect()[0]
     assert r5["ellipsis_line_frac"] == 1.0 and r5["gopher_pass"] is False
+
+
+def test_redact_pii_synthetic(spark):
+    docs = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "call +1 (415) 555-1234 or 020 7946 0958 today"),
+        (3, "card 4111 1111 1111 1111 was charged"),
+        (4, "no sensitive content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["text_redacted"]
+    assert "jane" not in out[1]["text_redacted"]
+    assert out[2]["n_phones"] >= 2 and "<PHONE>" in out[2]["text_redacted"]
+    assert not any(ch.isdigit() for ch in out[2]["text_redacted"])
+    assert out[3]["n_cards"] == 1 and "<CARD>" in out[3]["text_redacted"]
+    assert "4111" not in out[3]["text_redacted"]
+    assert out[4]["text_redacted"] == docs[3][1]
+    assert (out[4]["n_emails"], out[4]["n_cards"], out[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_deterministic_sample_properties(spark, docs_df):
+    s1 = {r["doc_id"] for r in
+          text.deterministic_sample(docs_df, 0.3, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in
+          text.deterministic_sample(docs_df, 0.3, "doc_id").collect()}
+    assert s1 == s2  # exactly repeatable
+    n = docs_df.count()
+    assert abs(len(s1) / n - 0.3) < 0.08
+    # stability under growth: verdicts on the original rows never change
+    grown = docs_df.unionByName(docs_df.withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000))
+    s3 = {r["doc_id"] for r in
+          text.deterministic_sample(grown, 0.3, "doc_id").collect()
+          if r["doc_id"] < 1_000_000}
+    assert s3 == s1
+    # nested: a 0.1 sample is a subset of the 0.3 sample (same salt)
+    s_small = {r["doc_id"] for r in
+               text.deterministic_sample(docs_df, 0.1, "doc_id").collect()}
+    assert s_small <= s1

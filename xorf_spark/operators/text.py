@@ -129,6 +129,48 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("alpha_word_frac") >= 0.80))
 
 
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Deterministic PII-pattern redaction (the scrub stage of a training
+    pipeline): email addresses, international-ish phone numbers, and
+    16-digit card-like numbers → typed placeholders. Pure ``regexp_replace``
+    chain (JVM, codegen); counts per pattern come out as columns so the
+    scrub is auditable."""
+    email = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d{1,3}[ \-.]?\(?\d{2,4}\)?[ \-.]?\d{3,4}[ \-.]?\d{3,4}"
+    card = r"\b(?:\d[ \-]?){15}\d\b"
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0)))
+    red_ec = F.regexp_replace(
+        F.regexp_replace(t, email, "<EMAIL>"), card, "<CARD>")
+    n_card = F.size(F.regexp_extract_all(t, F.lit(card), F.lit(0)))
+    # phones counted AFTER email/card redaction so their digit runs are not
+    # double-claimed by the broader phone pattern
+    n_phone = F.size(F.regexp_extract_all(red_ec, F.lit(phone), F.lit(0)))
+    red = F.regexp_replace(red_ec, phone, "<PHONE>")
+    return (df.withColumn(out_col, red)
+            .withColumn("n_emails", n_email)
+            .withColumn("n_cards", n_card)
+            .withColumn("n_phones", n_phone))
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id",
+                         salt: str = "") -> DataFrame:
+    """Reproducible, engine-portable sampling: keep rows whose
+    ``md5(id || salt)``-derived 60-bit hash falls under ``fraction`` of the
+    hash space. Unlike ``DataFrame.sample`` this is (a) exactly repeatable
+    across runs, partitionings and engines (the oracle recomputes the same
+    rows in SQL), and (b) stable under data growth — a row's verdict never
+    changes when other rows appear, which is what lets incremental
+    pipeline runs stay consistent with full reruns."""
+    from ..functions.registry import md5long
+
+    threshold = int(fraction * float(1 << 60))
+    h = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return df.where(h < F.lit(threshold))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     out_col: str = "fingerprint", k: int = 4) -> DataFrame:
     """Rolling-hash document fingerprint: min xxhash64 over k-word windows

@@ -837,6 +837,63 @@ FROM g ORDER BY doc_id
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub audit, oracle-exact: per-document pattern counts and the
+    redacted text itself (hash-compared), Spark Java regex vs DuckDB RE2 —
+    agreement proves the scrub is engine-portable."""
+    from .operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    return (redact_pii(docs)
+            .select("doc_id", "n_emails", "n_cards", "n_phones",
+                    F.md5("text_redacted").alias("redacted_md5"))
+            .orderBy("doc_id"))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d{1,3}[ \-.]?\(?\d{2,4}\)?[ \-.]?\d{3,4}[ \-.]?\d{3,4}"
+_PII_CARD = r"\b(?:\d[ \-]?){15}\d\b"
+
+ORACLE_REDACT_PII = f"""
+WITH red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_CARD}')) AS n_cards,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_CARD}', '<CARD>', 'g') AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_cards AS INTEGER) AS n_cards,
+       CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INTEGER)
+           AS n_phones,
+       md5(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g'))
+           AS redacted_md5
+FROM red ORDER BY doc_id
+"""
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Engine-portable reproducible sampling: md5-derived 60-bit hash under
+    a fraction threshold. The oracle recomputes the SAME sampled rows in
+    SQL — the property that makes incremental pipeline runs consistent
+    with full reruns."""
+    from .operators.text import deterministic_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (deterministic_sample(docs, 0.2, "doc_id", salt="r2")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+ORACLE_DETERMINISTIC_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_md5long_sql("CAST(doc_id AS VARCHAR) || 'r2'")}
+      < CAST(0.2 * 1152921504606846976 AS BIGINT)
+ORDER BY doc_id
+"""
+
+
 def q_media_decode_image(spark, sf_dir):
     """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
     per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
@@ -984,6 +1041,9 @@ def registry() -> dict[str, tuple]:
         "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
         "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
         "gopher_rules": (q_gopher_rules, ORACLE_GOPHER_RULES),
+        "redact_pii": (q_redact_pii, ORACLE_REDACT_PII),
+        "deterministic_sample": (q_deterministic_sample,
+                                 ORACLE_DETERMINISTIC_SAMPLE),
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
