@@ -530,3 +530,17 @@ def test_deterministic_sample_properties(spark, docs_df):
     s_small = {r["doc_id"] for r in
                text.deterministic_sample(docs_df, 0.1, "doc_id").collect()}
     assert s_small <= s1
+
+
+def test_sessionize_native_agrees(spark, sf_dir):
+    """Spark's Catalyst-native session_window and the portable lag/cumsum
+    formulation must carve identical sessions on the events table."""
+    from xorf_spark.operators.events import session_stats, sessionize_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = {(r["user_id"], r["start_epoch"]): (r["n_events"], r["end_epoch"])
+         for r in session_stats(ev, gap_minutes=30).collect()}
+    b = {(r["user_id"], r["start_epoch"]): (r["n_events"], r["end_epoch"])
+         for r in sessionize_native(ev, gap_minutes=30).collect()}
+    assert a == b
+    assert len(a) > 10

@@ -894,6 +894,45 @@ ORDER BY doc_id
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) of the events table, oracle-exact:
+    per (user, session) event counts, start/end epochs and duration via the
+    portable lag/cumsum formulation (operators/events.py)."""
+    from .operators.events import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    return (session_stats(ev, gap_minutes=30)
+            .select("user_id", "session_idx", "n_events", "start_epoch",
+                    "end_epoch", "duration_s")
+            .orderBy("user_id", "session_idx"))
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS end_epoch,
+       CAST(floor(max(epoch(ts))) - floor(min(epoch(ts))) AS BIGINT)
+           AS duration_s
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 def q_media_decode_image(spark, sf_dir):
     """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
     per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
@@ -1050,6 +1089,7 @@ def registry() -> dict[str, tuple]:
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
         "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+        "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
         "media_decode_image": (q_media_decode_image, ORACLE_MEDIA_DECODE_IMAGE),
         "media_decode_audio": (q_media_decode_audio, ORACLE_MEDIA_DECODE_AUDIO),
