@@ -933,6 +933,32 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-level vocabulary statistics: the 25 most frequent words with
+    exact counts plus global totals — explode → map-side-combined count →
+    top-k (TakeOrdered, no full sort). Deterministic ties: (count desc,
+    word asc)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return (counts.orderBy(F.desc("n"), F.asc("word")).limit(25)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("word")))))
+
+
+ORACLE_VOCAB_TOPK = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word)
+SELECT word, n,
+       CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS rank
+FROM c ORDER BY n DESC, word LIMIT 25
+"""
+
+
 def q_media_decode_image(spark, sf_dir):
     """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
     per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
@@ -1085,6 +1111,7 @@ def registry() -> dict[str, tuple]:
                                  ORACLE_DETERMINISTIC_SAMPLE),
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+        "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
