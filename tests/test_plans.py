@@ -112,3 +112,15 @@ def test_load_table_paths_and_catalog(spark, sf_dir):
         load_table(spark, "cat.db.tbl", snapshot_id=3)
     with pytest.raises(ValueError):
         load_table(spark, f"{sf_dir}/documents.parquet", snapshot_id=3)
+
+
+def test_ngram_reuses_grouped_exchange(spark, sf_dir):
+    """Both consumers of the posting-list aggregate (sizes + pair
+    expansion) must share its shuffle at runtime — regression guard against
+    re-scanning the corpus per branch."""
+    from xorf_spark.queries import q_ngram_jaccard_pairs
+
+    df = q_ngram_jaccard_pairs(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
