@@ -544,3 +544,25 @@ def test_sessionize_native_agrees(spark, sf_dir):
          for r in sessionize_native(ev, gap_minutes=30).collect()}
     assert a == b
     assert len(a) > 10
+
+
+def test_edge_cases_empty_and_tiny_inputs(spark, tmp_path):
+    """Empty/degenerate inputs across the round-2 operators: empty staged
+    build, empty/self-loop component edges, fraction-0/1 samples, and
+    sub-n-word docs through the gopher n-gram rules (Spark's sequence(1,0)
+    is DESCENDING — the CASE guard must keep gram lists empty)."""
+    empty = spark.range(0).select(F.xxhash64("id").alias("key"))
+    assert D.build_filter_df_staged(
+        empty, str(tmp_path / "st"), n_shards=4).count() == 0
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(e).count() == 0
+    assert dedup.connected_components(
+        spark.createDataFrame([(5, 5)], "id_a long, id_b long")).count() == 0
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    assert text.deterministic_sample(docs, 0.0).count() == 0
+    assert text.deterministic_sample(docs, 1.0).count() == 100
+    tiny = spark.createDataFrame([(1, "word"), (2, "")],
+                                 "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.gopher_rules(tiny).collect()}
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[2]["dup_3gram_frac"] == 0.0

@@ -316,9 +316,14 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
      .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
 
     fp_bits = _fp_bits(kind)
-    shard_ids = [int(r.shard_id) for r in
-                 spark.read.parquet(stage_dir)
-                 .select("shard_id").distinct().collect()]
+    try:
+        shard_ids = [int(r.shard_id) for r in
+                     spark.read.parquet(stage_dir)
+                     .select("shard_id").distinct().collect()]
+    except Exception:  # empty input writes no partition dirs at all
+        shard_ids = []
+    if not shard_ids:
+        return spark.createDataFrame([], SHARD_SCHEMA)
     tasks = spark.createDataFrame([(s,) for s in shard_ids],
                                   "shard_id int").repartition(len(shard_ids),
                                                               "shard_id")

@@ -95,12 +95,18 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.greatest(F.size(words), F.lit(1))
 
     def dup_frac(n: int):
+        # CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a doc
+        # with fewer than n words must short-circuit to an empty gram list
         grams = F.expr(
-            f"transform(sequence(1, greatest(size(split({text_col}, "
-            f"'\\\\s+')) - {n - 1}, 0)), "
-            f"j -> array_join(slice(split({text_col}, '\\\\s+'), j, {n}), ' '))")
-        total = F.greatest(F.size(grams), F.lit(1))
-        return (total - F.size(F.array_distinct(grams))) / total
+            f"CASE WHEN size(split({text_col}, '\\\\s+')) < {n} "
+            f"THEN cast(array() AS array<string>) "
+            f"ELSE transform(sequence(1, size(split({text_col}, "
+            f"'\\\\s+')) - {n - 1}), "
+            f"j -> array_join(slice(split({text_col}, '\\\\s+'), j, {n}), "
+            f"' ')) END")
+        total = F.size(grams)
+        return F.when(total == 0, F.lit(0.0)).otherwise(
+            (total - F.size(F.array_distinct(grams))) / total)
 
     lines = F.split(F.col(text_col), r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))

@@ -807,10 +807,12 @@ g AS (
   FROM w
 )
 SELECT doc_id,
-  round((greatest(len(g2),1) - len(list_distinct(g2)))
-        / CAST(greatest(len(g2),1) AS DOUBLE), 4) AS dup_2gram_frac,
-  round((greatest(len(g3),1) - len(list_distinct(g3)))
-        / CAST(greatest(len(g3),1) AS DOUBLE), 4) AS dup_3gram_frac,
+  round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+        END, 4) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+        END, 4) AS dup_3gram_frac,
   round((strlen(text) - strlen(replace(replace(text, '#', ''), '…', '')))
         / CAST(n_words AS DOUBLE), 4) AS symbol_word_ratio,
   round(len(list_filter(lines, ln -> regexp_matches(ln,
@@ -821,10 +823,12 @@ SELECT doc_id,
         / CAST(n_lines AS DOUBLE), 4) AS ellipsis_line_frac,
   round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
         / CAST(n_words AS DOUBLE), 4) AS alpha_word_frac,
-  ((greatest(len(g2),1) - len(list_distinct(g2)))
-     / CAST(greatest(len(g2),1) AS DOUBLE) <= 0.20
-   AND (greatest(len(g3),1) - len(list_distinct(g3)))
-     / CAST(greatest(len(g3),1) AS DOUBLE) <= 0.18
+  ((CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+    END) <= 0.20
+   AND (CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+    END) <= 0.18
    AND (strlen(text) - strlen(replace(replace(text, '#', ''), '…', '')))
      / CAST(n_words AS DOUBLE) <= 0.10
    AND len(list_filter(lines, ln -> regexp_matches(ln,
