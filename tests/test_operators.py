@@ -566,3 +566,28 @@ def test_edge_cases_empty_and_tiny_inputs(spark, tmp_path):
     rows = {r["doc_id"]: r for r in text.gopher_rules(tiny).collect()}
     assert rows[1]["dup_2gram_frac"] == 0.0
     assert rows[2]["dup_3gram_frac"] == 0.0
+
+
+def test_pack_sequences_properties(spark):
+    """Packing invariants at multiple partition counts: offsets are a
+    permutation-contiguous layout (sorted offsets tile the total token
+    stream with no gaps/overlaps), pack ids match offsets, and the layout
+    is IDENTICAL regardless of partitioning (cluster-size invariance)."""
+    from xorf_spark.operators.packing import pack_sequences
+
+    docs = spark.range(1, 501).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tok"))
+    layouts = []
+    for nparts in (2, 7):
+        out = pack_sequences(docs, 128, num_partitions=nparts).collect()
+        rows = sorted(out, key=lambda r: r["start_offset"])
+        pos = 0
+        for r in rows:
+            assert r["start_offset"] == pos  # contiguous, no gaps
+            assert r["start_pack"] == r["start_offset"] // 128
+            assert r["end_pack"] == (r["start_offset"] + r["n_tok"] - 1) // 128
+            assert r["pack_pos"] == r["start_offset"] % 128
+            pos += r["n_tok"]
+        layouts.append({r["doc_id"]: r["start_offset"] for r in out})
+    assert layouts[0] == layouts[1]  # partitioning-invariant

@@ -963,6 +963,44 @@ FROM c ORDER BY n DESC, word LIMIT 25
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing to seq_len=512 (the LLM-pretraining
+    pack op): documents laid end-to-end in md5-shuffled order; every doc's
+    exact global token offset and start/end pack ids, computed with the
+    scale pattern (range-partitioned per-partition cumsum + driver prefix
+    offsets, operators/packing.py) and hash-matched against the oracle's
+    global window cumsum."""
+    from .operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+    return (pack_sequences(docs, 512, "doc_id", "n_tok", salt="pack")
+            .select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+                    "start_offset", "start_pack", "end_pack", "pack_pos")
+            .orderBy("doc_id"))
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         {_md5long_sql("CAST(doc_id AS VARCHAR) || 'pack'")} AS pack_key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY pack_key, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_offset
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS start_pack,
+       CAST((start_offset + n_tok - 1) // 512 AS BIGINT) AS end_pack,
+       CAST(start_offset % 512 AS BIGINT) AS pack_pos
+FROM c ORDER BY doc_id
+"""
+
+
 def q_media_decode_image(spark, sf_dir):
     """REAL image decode, oracle-exact: synthesize a grayscale two-tone PNG
     per doc_id (dimensions/colors/PNG-filter-type are closed-form functions
@@ -1116,6 +1154,7 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
+        "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
