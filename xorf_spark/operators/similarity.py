@@ -113,6 +113,7 @@ def ivf_train(corpus: DataFrame, n_lists: int = 16,
             .orderBy("h").limit(sample_size).collect())
     X = np.array([r["e"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_lists = min(n_lists, X.shape[0])  # tiny corpora: one list per vector
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(X.shape[0], size=n_lists, replace=False)].copy()
     for _ in range(iters):
