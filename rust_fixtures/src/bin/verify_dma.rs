@@ -10,7 +10,9 @@
 //! Prints "OK" on exact agreement, a diagnostic otherwise (exit 1).
 
 use std::io::Read;
-use xorf::{BinaryFuse16Ref, BinaryFuse32Ref, BinaryFuse8Ref, Filter, FilterRef};
+use xorf::{
+    BinaryFuse16Ref, BinaryFuse32Ref, BinaryFuse8Ref, Filter, FilterRef, Xor16, Xor32, Xor8,
+};
 
 fn hex_to_bytes(s: &str) -> Vec<u8> {
     (0..s.len())
@@ -65,10 +67,58 @@ fn main() {
     let want_alien: Vec<bool> = (0..n as usize)
         .map(|i| alien_bytes[i / 8] >> (i % 8) & 1 == 1)
         .collect();
+    // xor family: no FilterRef in the reference, but the struct fields are
+    // public — build the owned filter directly from the Python-emitted
+    // descriptor (seed u64 LE + block_length u64 LE, filters.py to_dma)
+    fn check_xor<T, F2>(desc: &[u8], make: F2, fps_len: usize, members: &[u64],
+                        aliens: &[u64], want_alien: &[bool]) -> Result<(), String>
+    where
+        T: Filter<u64>,
+        F2: Fn(u64, usize) -> T,
+    {
+        let seed = u64::from_le_bytes(desc[..8].try_into().unwrap());
+        let bl = u64::from_le_bytes(desc[8..16].try_into().unwrap()) as usize;
+        if bl * 3 != fps_len {
+            return Err(format!("block_length {bl} inconsistent with {fps_len} slots"));
+        }
+        let f = make(seed, bl);
+        for (i, k) in members.iter().enumerate() {
+            if !f.contains(k) {
+                return Err(format!("false negative at member {i}"));
+            }
+        }
+        for (i, k) in aliens.iter().enumerate() {
+            if f.contains(k) != want_alien[i] {
+                return Err(format!("alien bit {i} mismatch"));
+            }
+        }
+        Ok(())
+    }
+
     let res = match kind {
         "bfuse8" => check::<BinaryFuse8Ref>(&fps, &desc, &members, &aliens, &want_alien),
         "bfuse16" => check::<BinaryFuse16Ref>(&fps, &desc, &members, &aliens, &want_alien),
         "bfuse32" => check::<BinaryFuse32Ref>(&fps, &desc, &members, &aliens, &want_alien),
+        "xor8" => check_xor(
+            &desc,
+            |seed, bl| Xor8 { seed, block_length: bl, fingerprints: fps.clone().into() },
+            fps.len(), &members, &aliens, &want_alien),
+        "xor16" => {
+            let v: Vec<u16> = fps.chunks_exact(2)
+                .map(|c| u16::from_le_bytes([c[0], c[1]])).collect();
+            let n = v.len();
+            check_xor(&desc,
+                      |seed, bl| Xor16 { seed, block_length: bl, fingerprints: v.clone().into() },
+                      n, &members, &aliens, &want_alien)
+        }
+        "xor32" => {
+            let v: Vec<u32> = fps.chunks_exact(4)
+                .map(|c| u32::from_le_bytes([c[0], c[1], c[2], c[3]])).collect();
+            let n = v.len();
+            check_xor(&desc,
+                      |seed, bl| Xor32 { seed, block_length: bl, fingerprints: v.clone().into() },
+                      n, &members, &aliens, &want_alien)
+        }
         other => Err(format!("unknown kind {other}")),
     };
     match res {

@@ -179,13 +179,15 @@ def test_bfuse_build_parity(bits):
 CARGO_DIR = os.path.join(os.path.dirname(__file__), "..", "rust_fixtures")
 
 
-@pytest.mark.parametrize("bits", [8, 16, 32])
-def test_python_build_probes_in_rust(bits):
+@pytest.mark.parametrize("kind", ["bfuse8", "bfuse16", "bfuse32",
+                                  "xor8", "xor16", "xor32"])
+def test_python_build_probes_in_rust(kind):
     """Interchangeability, reverse direction: serialize a Python-built
-    BinaryFuse filter via to_dma() and have the REFERENCE's from_dma +
-    contains probe it — zero FN on members and the exact alien FP pattern
-    the Python kernels predict. Builds the verifier with the offline cargo
-    setup in rust_fixtures/ (skips if cargo is unavailable)."""
+    filter via to_dma() and have the REFERENCE probe it (BinaryFuse via
+    its from_dma; Xor via its public struct) — zero FN on members and the
+    exact alien FP pattern the Python kernels predict. Builds the verifier
+    with the offline cargo setup in rust_fixtures/ (skips if cargo is
+    unavailable)."""
     import shutil
     import subprocess
 
@@ -199,13 +201,14 @@ def test_python_build_probes_in_rust(bits):
     if build.returncode != 0:
         pytest.skip(f"cargo build failed offline: {build.stderr[-300:]}")
 
-    cls = getattr(X, f"BinaryFuse{bits}")
+    cls = X.FILTER_CLASSES[kind]
     keys = member_keys()
-    filt = cls.from_keys(keys, uniform_random=False)
+    kw = {} if kind.startswith("xor") else {"uniform_random": False}
+    filt = cls.from_keys(keys, **kw)
     desc, fps = filt.to_dma()
     alien = np.asarray(filt.contains(alien_keys()))
     doc = json.dumps({
-        "kind": f"bfuse{bits}",
+        "kind": kind,
         "desc_hex": desc.hex(),
         "fps_hex": fps.hex(),
         "n_keys": N,
