@@ -15,6 +15,7 @@ from xorf_spark.sketches import (
     Bloom,
     CountMin,
     HyperLogLog,
+    MisraGries,
     TDigest,
     build_sketch_table,
     grouped_sketch,
@@ -137,7 +138,8 @@ def test_serde_roundtrip_all_kinds():
                CountMin(width=512, depth=3).add_hashes(keys),
                Bloom(n_bits=1 << 16, k=5).add_hashes(keys),
                KLL(k=128).add(vals),
-               TDigest(delta=100).add(vals)):
+               TDigest(delta=100).add(vals),
+               MisraGries(k=64).add_hashes(keys[:1000])):
         back = sketch_from_bytes(sk.to_bytes())
         assert back.to_bytes() == sk.to_bytes()
         assert type(back) is type(sk)
@@ -204,6 +206,77 @@ def test_geometry_mismatch_rejected():
         CountMin(width=512, depth=3).merge(CountMin(width=256, depth=3))
     with pytest.raises(ValueError):
         Bloom(n_bits=128, k=3).merge(Bloom(n_bits=256, k=3))
+    with pytest.raises(ValueError):
+        MisraGries(k=64).merge(MisraGries(k=128))
+
+
+def _zipf_stream(n_draws: int = 1_500_000, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    raw = rng.zipf(1.3, n_draws)
+    return raw[raw < 200_000].astype(np.int64)
+
+
+def test_mg_bounds_on_skewed_stream():
+    """Misra-Gries published guarantees on a zipf stream with far more
+    distinct keys than capacity: counter ≤ true ≤ counter + dsub for every
+    key, dsub ≤ n/(k+1), and zero false-negative heavy hitters above the
+    1/(k+1) frequency threshold."""
+    stream = _zipf_stream()
+    mg = MisraGries(k=512)
+    for lo in range(0, stream.size, 200_000):   # batched adds → compactions
+        mg.add_hashes(stream[lo:lo + 200_000])
+    assert mg.n == stream.size
+    assert mg.keys.size <= 512
+    assert mg.dsub <= mg.error_bound()
+    uk, uc = np.unique(stream, return_counts=True)
+    est = mg.estimate_hashes(uk)
+    assert (est <= uc).all()
+    assert (uc <= est + mg.dsub).all()
+    heavy = uk[uc > stream.size / (mg.k + 1)]
+    assert heavy.size > 0
+    assert (mg.estimate_hashes(heavy) > 0).all()
+    # absent keys estimate 0
+    assert (mg.estimate_hashes(np.array([10**12, -5], dtype=np.int64)) == 0).all()
+
+
+def test_mg_exact_below_capacity_and_weighted():
+    """With ≤ k distinct keys no compaction runs: exact counts, dsub = 0.
+    Weighted adds count total weight."""
+    keys = np.arange(40, dtype=np.int64)
+    w = (np.arange(40) + 1).astype(np.int64)
+    mg = MisraGries(k=64).add_hashes(keys, weights=w)
+    assert mg.dsub == 0 and mg.n == int(w.sum())
+    assert (mg.estimate_hashes(keys) == w).all()
+    ks, lo, hi = mg.topk(3)
+    assert list(ks) == [39, 38, 37] and (lo == hi).all()
+
+
+def test_mg_merge_any_split_keeps_bounds():
+    """Property: merging per-part MG summaries in ANY order keeps the
+    published bounds vs the exact counts (merge is bound-associative, not
+    byte-exact — compaction points depend on order)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    stream = _zipf_stream(600_000, seed=3)
+    uk, uc = np.unique(stream, return_counts=True)
+
+    @settings(max_examples=10, deadline=None)
+    @given(cuts=st.lists(st.integers(1, stream.size - 1), min_size=1,
+                         max_size=5, unique=True),
+           order_seed=st.integers(0, 2**31))
+    def check(cuts, order_seed):
+        parts = np.split(stream, sorted(cuts))
+        order = np.random.default_rng(order_seed).permutation(len(parts))
+        merged = MisraGries(k=256)
+        for i in order:
+            merged.merge(MisraGries(k=256).add_hashes(parts[i]))
+        assert merged.n == stream.size
+        assert merged.dsub <= merged.error_bound()
+        est = merged.estimate_hashes(uk)
+        assert (est <= uc).all() and (uc <= est + merged.dsub).all()
+
+    check()
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +323,36 @@ def test_distributed_valued_sketches_within_bound(spark, keyed_df):
         for est in (td.quantile(q), float(kll.quantiles([q])[0])):
             exact_rank = keyed_df.where(F.col("v") <= est).count() / n
             assert abs(exact_rank - q) < 0.015
+
+
+def test_distributed_mg_bounds_and_udf(spark, keyed_df):
+    """sketch_agg('mg') over a 50-distinct long column with k=16 (forces
+    compaction): published bounds hold vs exact groupBy counts, and the
+    probe UDF returns the tracked estimates (NULL keys stay NULL)."""
+    from xorf_spark.sketches import mg_estimate_udf
+
+    skewed = keyed_df.select(F.pmod("key", F.lit(50)).alias("item"))
+    mg = sketch_agg(skewed, "item", "mg", {"k": 16})
+    assert mg.n == keyed_df.count()
+    assert mg.dsub <= mg.error_bound()
+    exact = {r["item"]: r["n"] for r in
+             skewed.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    est = mg.estimate_hashes(
+        np.array(sorted(exact), dtype=np.int64))
+    for item, e in zip(sorted(exact), est):
+        assert e <= exact[item] <= e + mg.dsub
+    udf = mg_estimate_udf(spark, mg)
+    probed = (skewed.distinct().withColumn("est", udf("item"))
+              .union(spark.sql("SELECT CAST(NULL AS LONG) item, "
+                               "CAST(NULL AS LONG) est"))
+              .collect())
+    for r in probed:
+        if r["item"] is None:
+            assert r["est"] is None
+        else:
+            assert r["est"] == int(mg.estimate_hashes(
+                np.array([r["item"]], dtype=np.int64))[0])
 
 
 def test_grouped_hll_estimates(spark, keyed_df):

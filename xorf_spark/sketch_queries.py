@@ -12,6 +12,8 @@ while legitimate approximation noise does not. The laws checked:
 - Bloom:    zero false negatives; measured FPP ≤ 2× design target
 - t-digest: |rank(est_q) - q| ≤ 0.01          (Dunning-Ertl, δ=300)
 - KLL:      |rank(est_q) - q| ≤ 0.025         (Karnin-Lang-Liberty, k=400)
+- MG:       est ≤ true ≤ est + dsub, dsub ≤ n/(k+1)  (Misra-Gries 1982;
+            mergeable form per Agarwal et al. 2013)
 - merge:    HLL/CMS/Bloom state is byte-identical across partitionings and
             merge-tree fanouts (exact associativity/commutativity)
 """
@@ -224,6 +226,41 @@ ORACLE_TDIGEST_GROUP_QUANTILES = ("SELECT source, TRUE AS rank_ok "
                                   "ORDER BY source")
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters over corpus words, keyed by the portable
+    md5-derived word hash (bit-identical in Spark and DuckDB). The Spark
+    side computes the exact per-word counts AND probes the broadcast MG
+    summary with a pandas UDF, asserting the published law per word:
+    ``est ≤ true ≤ est + dsub`` with ``dsub ≤ n/(k+1)``. On this corpus the
+    distinct-word count is below k, so the law collapses to exact equality
+    (dsub = 0, every word retained); the over-capacity compaction regime is
+    pytest-covered on a planted zipf stream with 200k distinct keys
+    (tests/test_sketches.py::test_mg_bounds_on_skewed_stream)."""
+    docs = _load(spark, sf_dir, "documents")
+    md5long = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10)
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .withColumn("key", md5long.cast("long")))
+    mg = S.sketch_agg(words, "key", "mg", {"k": 256})
+    law_ok = mg.dsub <= mg.error_bound()
+    est = S.mg_estimate_udf(spark, mg)
+    return (words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"), F.first("key").alias("key"))
+            .withColumn("est", est("key"))
+            .select("word", "n",
+                    ((F.col("est") <= F.col("n"))
+                     & (F.col("n") <= F.col("est") + F.lit(int(mg.dsub)))
+                     & F.lit(law_ok)).alias("mg_ok"),
+                    (F.col("est") > 0).alias("retained"))
+            .orderBy("word"))
+
+
+ORACLE_MG_HEAVY_HITTERS = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word)
+SELECT word, n, TRUE AS mg_ok, TRUE AS retained FROM c ORDER BY word
+"""
+
+
 def q_sketch_merge_assoc(spark, sf_dir):
     """Merge associativity/commutativity, byte-exact: for each keyed sketch,
     aggregate the same keys under different partitionings AND different
@@ -264,6 +301,7 @@ def registry() -> dict[str, tuple]:
         "tdigest_group_quantiles": (q_tdigest_group_quantiles,
                                     ORACLE_TDIGEST_GROUP_QUANTILES),
         "kll_quantiles": (q_kll_quantiles, _ORACLE_QUANTILES),
+        "mg_heavy_hitters": (q_mg_heavy_hitters, ORACLE_MG_HEAVY_HITTERS),
         "sketch_merge_assoc": (q_sketch_merge_assoc,
                                ORACLE_SKETCH_MERGE_ASSOC),
     }

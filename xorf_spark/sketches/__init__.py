@@ -1,6 +1,6 @@
-"""Mergeable sketch library: HLL, Count-Min, Bloom, KLL, t-digest as
-distributed Spark UDAF-style aggregations (north-star extension of the
-reference filter family)."""
+"""Mergeable sketch library: HLL, Count-Min, Bloom, KLL, t-digest, and
+Misra-Gries heavy hitters as distributed Spark UDAF-style aggregations
+(north-star extension of the reference filter family)."""
 
 from .dataflow import (
     PARTIAL_SCHEMA,
@@ -9,6 +9,7 @@ from .dataflow import (
     build_sketch_table,
     cms_estimate_udf,
     grouped_sketch,
+    mg_estimate_udf,
     partial_sketches,
     sketch_agg,
     sketch_from_table,
@@ -21,16 +22,18 @@ from .kernels import (
     Bloom,
     CountMin,
     HyperLogLog,
+    MisraGries,
     TDigest,
     make_sketch,
     sketch_from_bytes,
 )
 
 __all__ = [
-    "Bloom", "CountMin", "HyperLogLog", "KLL", "TDigest",
+    "Bloom", "CountMin", "HyperLogLog", "KLL", "TDigest", "MisraGries",
     "KEYED_KINDS", "SKETCH_KINDS", "PARTIAL_SCHEMA",
     "make_sketch", "sketch_from_bytes",
     "partial_sketches", "tree_merge", "sketch_agg", "grouped_sketch",
     "build_sketch_table", "sketch_from_table",
     "cms_estimate_udf", "bloom_contains_udf", "tdigest_cdf_udf",
+    "mg_estimate_udf",
 ]

@@ -66,7 +66,7 @@ _PA_PARTIAL = pa.schema([
 
 def _feed(sk, kind: str, arr: np.ndarray, weights=None):
     if kind in KEYED_KINDS:
-        if kind == "cms" and weights is not None:
+        if kind in ("cms", "mg") and weights is not None:
             sk.add_hashes(arr, weights)
         else:
             sk.add_hashes(arr)
@@ -193,7 +193,7 @@ def _headline(kind: str, sk) -> float:
         return float(sk.total)
     if kind == "bloom":
         return float(sk.n_added)
-    return float(sk.n)
+    return float(sk.n)   # mg / kll / tdigest: total weight fed
 
 
 def _col_to_arr(vals: pd.Series, kind: str) -> np.ndarray:
@@ -436,6 +436,15 @@ def cms_estimate_udf(spark: SparkSession, cms):
         return out
 
     return _est
+
+
+def mg_estimate_udf(spark: SparkSession, mg):
+    """``long key -> long`` Misra-Gries lower-bound count (0 for untracked
+    keys; ``true ≤ est + mg.dsub``). Dual of the CMS probe — CMS never
+    under-counts, MG never over-counts — and shares its broadcast/cache
+    plumbing: the probe body only calls ``estimate_hashes`` on the
+    deserialized sketch, which both kinds implement."""
+    return cms_estimate_udf(spark, mg)
 
 
 def tdigest_cdf_udf(spark: SparkSession, td):

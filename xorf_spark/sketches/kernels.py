@@ -17,6 +17,10 @@ NOT ported from any implementation:
 - t-digest         — Dunning, Ertl (2019 merging variant) with the k1
                      (arcsine) scale function; clustering is the fully
                      vectorized floor-of-scale-function grouping.
+- Misra-Gries      — Misra, Gries (1982) frequent items, in the batched
+                     mergeable formulation of Agarwal et al., "Mergeable
+                     Summaries" (TODS 2013): undercount ≤ n/(k+1), no
+                     false-negative heavy hitters above that threshold.
 
 Shared contracts (the "mergeable UDAF" laws the Spark layer and tests rely on):
 
@@ -48,7 +52,7 @@ import numpy as np
 from ..kernels import MASK64, U64, mix64, splitmix64
 
 __all__ = [
-    "HyperLogLog", "CountMin", "Bloom", "KLL", "TDigest",
+    "HyperLogLog", "CountMin", "Bloom", "KLL", "TDigest", "MisraGries",
     "make_sketch", "sketch_from_bytes", "SKETCH_KINDS",
 ]
 
@@ -580,13 +584,143 @@ class TDigest:
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries (heavy hitters / frequent items)
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Misra-Gries frequent-items summary over 64-bit keys — batched,
+    weighted, and mergeable (SpaceSaving-equivalent).
+
+    Built from the published batched/mergeable formulation: Misra & Gries
+    (1982) generalized counters; Agarwal, Cormode, Huang, Phillips, Wei, Yi,
+    "Mergeable Summaries" (TODS 2013) §3 — summing two MG(k) counter sets
+    and subtracting the (k+1)-th largest combined count (dropping
+    non-positive counters) is an MG(k) summary of the concatenated input.
+    A batch add is that same merge, with the batch's exact per-key totals
+    playing the second summary (a zero-error summary of itself).
+
+    Guarantees (``n`` = total added weight, ``D = dsub`` = cumulative
+    subtracted decrement):
+
+    - ``counter(x) ≤ true(x) ≤ counter(x) + D`` for every key x (absent
+      keys read 0) — each compaction subtracts exactly ``m`` from any
+      surviving key and at most ``m`` from any dropped one;
+    - ``D ≤ n/(k+1)``: every compaction removes ≥ (k+1)·m counter mass
+      (≥ k+1 counters sit at or above the (k+1)-th largest value m), total
+      mass added is n and mass never goes negative;
+    - hence every key with ``true(x) > n/(k+1)`` is still tracked — a
+      heavy-hitters query at threshold φ > 1/(k+1) has no false negatives;
+    - with ≤ k distinct keys no compaction ever runs: counts exact, D = 0.
+
+    Merge is associative/commutative *within the bound* but NOT byte-exact
+    (where compactions land depends on merge order), so ``mg`` does not
+    join the byte-identical merge-law test that HLL/CMS/Bloom satisfy.
+
+    Consumes int64/uint64 keys like the other keyed sketches, but identity
+    matters for reporting: feed raw integral ids (e.g. token ids) or a
+    portable hash the caller can join back to the item.
+    """
+
+    KIND = "mg"
+
+    def __init__(self, k: int = 256, keys: np.ndarray | None = None,
+                 counts: np.ndarray | None = None, n: int = 0,
+                 dsub: int = 0):
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.keys = keys if keys is not None else np.empty(0, dtype=np.uint64)
+        self.counts = (counts if counts is not None
+                       else np.empty(0, dtype=np.int64))
+        self.n = int(n)
+        self.dsub = int(dsub)
+
+    def _combine(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        """Union-sum the (key, count) sets, then one MG compaction if over
+        capacity. ``self.keys`` stays sorted ascending (np.unique output),
+        which estimate_hashes' searchsorted relies on."""
+        allk = np.concatenate([self.keys, keys])
+        allc = np.concatenate([self.counts, counts])
+        uk, inv = np.unique(allk, return_inverse=True)
+        uc = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(uc, inv, allc)
+        if uk.size > self.k:
+            m = int(np.partition(uc, uk.size - self.k - 1)
+                    [uk.size - self.k - 1])
+            uc = uc - m
+            keep = uc > 0
+            uk, uc = uk[keep], uc[keep]
+            self.dsub += m
+        self.keys, self.counts = uk, uc
+
+    def add_hashes(self, keys: np.ndarray,
+                   weights: np.ndarray | None = None) -> "MisraGries":
+        h = _as_u64(keys)
+        if h.size == 0:
+            return self
+        uk, inv = np.unique(h, return_inverse=True)
+        if weights is None:
+            uw = np.bincount(inv, minlength=uk.size).astype(np.int64)
+            self.n += int(h.size)
+        else:
+            w = np.asarray(weights).astype(np.int64, copy=False)
+            uw = np.zeros(uk.size, dtype=np.int64)
+            np.add.at(uw, inv, w)
+            self.n += int(w.sum())
+        self._combine(uk, uw)
+        return self
+
+    def estimate_hashes(self, keys: np.ndarray) -> np.ndarray:
+        """Lower-bound counts (0 for untracked keys); true ≤ est + dsub."""
+        h = _as_u64(keys)
+        if self.keys.size == 0:
+            return np.zeros(h.size, dtype=np.int64)
+        pos = np.searchsorted(self.keys, h).clip(0, self.keys.size - 1)
+        hit = self.keys[pos] == h
+        return np.where(hit, self.counts[pos], 0)
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError("misra-gries capacity (k) mismatch")
+        self.n += other.n
+        self.dsub += other.dsub
+        self._combine(other.keys, other.counts)
+        return self
+
+    def topk(self, j: int | None = None):
+        """``(keys, count_lo, count_hi)`` arrays ordered by count desc then
+        key asc (deterministic ties); ``count_lo ≤ true ≤ count_hi``."""
+        order = np.lexsort((self.keys, -self.counts))
+        if j is not None:
+            order = order[:j]
+        lo = self.counts[order]
+        return self.keys[order], lo, lo + self.dsub
+
+    def error_bound(self) -> float:
+        """Published bound on the undercount: ``dsub ≤ n/(k+1)``."""
+        return self.n / (self.k + 1)
+
+    def to_bytes(self) -> bytes:
+        return _pack(self.KIND, {"k": self.k, "n": self.n, "dsub": self.dsub},
+                     [self.keys, self.counts])
+
+    @classmethod
+    def _from(cls, head: dict, bufs: list[bytes]) -> "MisraGries":
+        keys = np.frombuffer(bufs[0], dtype=np.uint64).copy()
+        counts = np.frombuffer(bufs[1], dtype=np.int64).copy()
+        return cls(k=head["k"], keys=keys, counts=counts, n=head["n"],
+                   dsub=head["dsub"])
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
-_CLASSES = {c.KIND: c for c in (HyperLogLog, CountMin, Bloom, KLL, TDigest)}
+_CLASSES = {c.KIND: c for c in (HyperLogLog, CountMin, Bloom, KLL, TDigest,
+                                MisraGries)}
 SKETCH_KINDS = tuple(_CLASSES)
 #: kinds that consume 64-bit hashed keys (vs float64 values)
-KEYED_KINDS = ("hll", "cms", "bloom")
+KEYED_KINDS = ("hll", "cms", "bloom", "mg")
 
 
 def make_sketch(kind: str, **params):
