@@ -591,3 +591,68 @@ def test_pack_sequences_properties(spark):
             pos += r["n_tok"]
         layouts.append({r["doc_id"]: r["start_offset"] for r in out})
     assert layouts[0] == layouts[1]  # partitioning-invariant
+
+
+def test_range_partitioning_boundaries_and_buckets(spark):
+    """Sketch-driven range partitioning: boundaries are monotone, both
+    bucket-assignment paths (Catalyst fold vs binary-search UDF) agree
+    exactly, NULLs land in bucket -1, and bucket masses on a skewed
+    distribution are near-equal within the KLL rank-error bound."""
+    from xorf_spark.operators.partitioning import (
+        bucket_expr, bucket_udf, quantile_boundaries,
+        repartition_by_quantiles, with_range_bucket)
+
+    n, n_buckets = 120_000, 8
+    vals = spark.range(n).select(
+        (F.exp(F.xxhash64("id") % 1000 / 250.0)).alias("v"))  # heavy tail
+    bounds = quantile_boundaries(vals, "v", n_buckets, kind="kll")
+    assert 1 <= len(bounds) <= n_buckets - 1
+    assert bounds == sorted(bounds)
+
+    both = (vals.withColumn("b_cat", bucket_expr("v", bounds))
+            .withColumn("b_udf",
+                        bucket_udf(spark, bounds)(F.col("v").cast("double"))))
+    assert both.where(F.col("b_cat") != F.col("b_udf")).count() == 0
+
+    # mass balance: each bucket within 1/B ± 2*rank_err (KLL k=400 → 0.025)
+    sizes = {r["b"]: r["n"] for r in
+             with_range_bucket(vals, "v", bounds, "b")
+             .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) <= set(range(len(bounds) + 1))
+    for b, cnt in sizes.items():
+        assert abs(cnt / n - 1 / n_buckets) < 2 * 0.025 + 0.01, (b, cnt)
+
+    # NULL → bucket -1; physical partitioning is by value range
+    with_null = vals.union(spark.sql("SELECT CAST(NULL AS DOUBLE) v"))
+    tagged = with_range_bucket(with_null, "v", bounds, "b")
+    assert tagged.where(F.col("v").isNull()).select("b").first()["b"] == -1
+    parted = repartition_by_quantiles(vals, "v", n_buckets, bounds=bounds)
+    assert parted.rdd.getNumPartitions() == len(bounds) + 1
+    # partitions hold contiguous, NON-OVERLAPPING bucket ranges (the
+    # range-clustered property sorted writes / co-range joins rely on)
+    rng = (parted.withColumn("pid", F.spark_partition_id())
+           .groupBy("pid").agg(F.min("bucket").alias("lo"),
+                               F.max("bucket").alias("hi"))
+           .orderBy("pid").collect())
+    for prev, cur in zip(rng, rng[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_range_partitioning_cross_table_determinism(spark):
+    """The same boundary list buckets a SECOND table identically — the
+    co-partitioned range-join property the native sampling-based
+    repartitionByRange cannot provide."""
+    from xorf_spark.operators.partitioning import (
+        quantile_boundaries, with_range_bucket)
+
+    a = spark.range(50_000).select((F.col("id") % 1000).cast("double")
+                                   .alias("v"))
+    bounds = quantile_boundaries(a, "v", 4)
+    b = spark.range(777).select((F.col("id") % 1000).cast("double")
+                                .alias("v"))
+    ba = {r["v"]: r["bk"] for r in
+          with_range_bucket(a, "v", bounds, "bk").distinct().collect()}
+    bb = {r["v"]: r["bk"] for r in
+          with_range_bucket(b, "v", bounds, "bk").distinct().collect()}
+    for v, bk in bb.items():
+        assert ba[v] == bk

@@ -626,3 +626,15 @@ def test_streaming_windowed_cms_and_bloom(spark, tmp_path):
     for r in spark.sql("select * from bloom_win").collect():
         n_added[r.group] = max(n_added.get(r.group, 0.0), r.distinct_est)
     assert {g: int(v) for g, v in n_added.items()} == exact
+
+    # mg: headline is total folded weight; running state stays a valid
+    # MG summary across micro-batch folds (bounds vs exact stream counts)
+    out = stream_windowed_sketch(stream, "key", "grp", "mg", {"k": 64})
+    q = (out.writeStream.format("memory").queryName("mg_win")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    folded = {}
+    for r in spark.sql("select * from mg_win").collect():
+        folded[r.group] = max(folded.get(r.group, 0.0), r.distinct_est)
+    assert {g: int(v) for g, v in folded.items()} == exact

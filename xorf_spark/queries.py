@@ -963,6 +963,38 @@ FROM c ORDER BY n DESC, word LIMIT 25
 """
 
 
+def q_range_partition(spark, sf_dir):
+    """Sketch-driven range repartitioning (operators/partitioning.py): KLL
+    quantile boundaries over l_extendedprice split lineitem into 8
+    near-equal-mass range buckets, assigned by a pure-Catalyst fold (no
+    python in the row path). Emits the per-bucket mass-balance check
+    against the KLL rank-error law (|mass − 1/8| ≤ 2·0.025 + slack).
+    Boundaries are deterministic (seeded KLL compaction), so a second
+    table bucketed with the SAME bounds is co-range-partitioned — the
+    property Spark's sampling-based repartitionByRange lacks (pytest:
+    test_range_partitioning_cross_table_determinism)."""
+    from .operators.partitioning import (quantile_boundaries,
+                                         with_range_bucket)
+
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    bounds = quantile_boundaries(li, "l_extendedprice", 8)
+    tagged = with_range_bucket(li, "l_extendedprice", bounds, "bucket")
+    return (tagged.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("bucket",
+                    (F.abs(F.col("n_rows") / F.lit(float(n)) - 1.0 / 8)
+                     <= 2 * 0.025 + 0.01).alias("balance_ok"))
+            .orderBy("bucket"))
+
+
+ORACLE_RANGE_PARTITION = """
+SELECT CAST(bucket AS INTEGER) AS bucket, TRUE AS balance_ok
+FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS t(bucket)
+ORDER BY bucket
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing to seq_len=512 (the LLM-pretraining
     pack op): documents laid end-to-end in md5-shuffled order; every doc's
@@ -1154,6 +1186,7 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
+        "range_partition": (q_range_partition, ORACLE_RANGE_PARTITION),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),

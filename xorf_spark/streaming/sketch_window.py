@@ -46,7 +46,9 @@ def _headline(kind: str, sk) -> float:
         return float(sk.estimate())
     if kind == "cms":
         return float(sk.total)
-    return float(sk.n_added)  # bloom
+    if kind == "bloom":
+        return float(sk.n_added)
+    return float(sk.n)  # mg: total weight folded so far
 
 
 def _make_fold_fn(kind: str, params: dict, retention=None):
@@ -108,10 +110,12 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
                            window: str = "1 hour",
                            retention: str | int | None = None) -> DataFrame:
     """Generic keyed-sketch streaming window: any mergeable keyed sketch
-    (``hll`` | ``cms`` | ``bloom``) folded per (group, event-time window)
-    micro-batch by micro-batch. The ``distinct_est`` output column carries
-    the kind's headline number (HLL estimate / CMS total weight / Bloom
-    keys added); the full running state rides the state store as the
+    (``hll`` | ``cms`` | ``bloom`` | ``mg``) folded per (group, event-time
+    window) micro-batch by micro-batch. The ``distinct_est`` output column
+    carries the kind's headline number (HLL estimate / CMS total weight /
+    Bloom keys added / MG weight folded — probe the running heavy-hitter
+    state itself via the state bytes);
+    the full running state rides the state store as the
     sketch's canonical bytes, so a snapshot at any micro-batch equals a
     batch build over the same prefix of the stream (merge-law invariance).
     """
