@@ -106,6 +106,30 @@ if want("python_hll_selfgen"):
     out["python_hll_selfgen_secs"] = best_of(selfgen)
 
 
+# Staged build (the PRODUCTION build path, dataflow.build_filter_df_staged):
+# stage 1 is a pure-JVM shuffle→partitioned-parquet write, stage 2 a
+# shuffle-free python task per shard that reads ITS OWN parquet files with
+# pyarrow. No JVM→python Arrow feed of the key stream at all — the one
+# serial resource the one-shot build contends on in local mode — so this is
+# the job whose local-mode scaling most closely models N→4N executors on
+# separate machines. Measured in the clean regime (before any one-shot
+# sharded build has poisoned this JVM's python-feed path).
+import shutil as _sh
+
+_stage_dir = os.environ.get("XORF_STAGE_DIR",
+                            f"/tmp/xorf_scaling_stage_{cpus}")
+
+def staged_build(kind):
+    df = D.build_filter_df_staged(keys, _stage_dir, kind=kind, n_shards=128)
+    n = df.agg(F.sum("n_keys")).collect()[0][0]
+    assert n == n_keys, (n, n_keys)
+
+if want("build_bfuse8_staged"):
+    out["build_bfuse8_staged_secs"] = best_of(
+        lambda: staged_build("bfuse8"))
+    _sh.rmtree(_stage_dir, ignore_errors=True)
+
+
 # Warm-up + the rest of the jobs run AFTER the sketches: once a python stage
 # has consumed a *shuffled* input in this JVM (the sharded build), every
 # later python-feed stage in the same local-mode JVM runs ~6x slower
@@ -244,6 +268,7 @@ def main():
         print(json.dumps(levels[cpus]))
 
     jobs = {
+        "build_bfuse8_staged": ("keys/sec", n_keys),
         "build_bfuse8": ("keys/sec", n_keys),
         "build_xor8": ("keys/sec", n_keys),
         "probe_bfuse8": ("lookups/sec", n_keys),
@@ -310,7 +335,7 @@ def main():
         "DRAM-saturated regime) and `BENCH/SCALING_2v8.md` (local[2] vs",
         "local[8], where the measured DRAM curve is still linear — the",
         "regime that matches N→4N executors on separate machines; the",
-        "flagship build and sketch UDAF hit ≥0.88 efficiency there).",
+        "production staged build reads 0.83 efficiency there).",
         "",
         "Three witnesses separate harness scaling from this box's physics:",
         "",
