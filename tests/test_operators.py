@@ -656,3 +656,45 @@ def test_range_partitioning_cross_table_determinism(spark):
           with_range_bucket(b, "v", bounds, "bk").distinct().collect()}
     for v, bk in bb.items():
         assert ba[v] == bk
+
+
+def test_asof_join_directions_tolerance_and_ties(spark):
+    """asof_join on a handcrafted frame: backward picks the latest right at
+    or before each left ts (equal ts matches), forward the earliest at or
+    after, tolerance nulls far matches, unmatched rows keep NULLs, and
+    keys never cross `by` groups."""
+    from xorf_spark.operators.events import asof_join
+
+    def ts(s):
+        return f"2026-01-01 00:00:{s:02d}"
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)), (2, 100, ts(20)), (3, 200, ts(5)),
+         (4, 300, ts(30))],
+        "lid long, user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(11, 100, ts(10)), (12, 100, ts(15)), (13, 200, ts(8)),
+         (14, 200, ts(40))],
+        "rid long, user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts"))
+
+    back = {r["lid"]: r["rid_r"] for r in
+            asof_join(left, right, by="user_id").collect()}
+    assert back == {1: 11,   # equal ts matches
+                    2: 12,   # latest <= 20s is 15s
+                    3: None,  # earliest right for user 200 is later
+                    4: None}  # user 300 has no right rows
+
+    fwd = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, by="user_id",
+                     direction="forward").collect()}
+    assert fwd == {1: 11, 2: None, 3: 13, 4: None}
+
+    tol = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, by="user_id",
+                     tolerance_seconds=3).collect()}
+    assert tol == {1: 11, 2: None, 3: None, 4: None}  # 20s-15s > 3s horizon
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")

@@ -898,6 +898,38 @@ ORDER BY doc_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join, oracle-exact against DuckDB's native ASOF JOIN: every
+    click event picks up the user's most recent prior-or-simultaneous view
+    event. Spark plan (operators/events.py::asof_join): union + one
+    shuffle on user_id + running last(..., ignorenulls) window — no range
+    join, no per-row lookup; cost is independent of match distance."""
+    from .operators.events import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id", "value"))
+    return (asof_join(clicks, views, on="ts", by="user_id",
+                      direction="backward")
+            .select("event_id",
+                    F.col("event_id_r").alias("view_event_id"),
+                    F.col("value_r").alias("view_value"))
+            .orderBy("event_id"))
+
+
+ORACLE_ASOF_JOIN = """
+SELECT l.event_id,
+       r.event_id AS view_event_id,
+       r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the events table, oracle-exact:
     per (user, session) event counts, start/end epochs and duration via the
@@ -1193,6 +1225,7 @@ def registry() -> dict[str, tuple]:
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
         "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+        "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
         "media_decode_image": (q_media_decode_image, ORACLE_MEDIA_DECODE_IMAGE),
         "media_decode_audio": (q_media_decode_audio, ORACLE_MEDIA_DECODE_AUDIO),
