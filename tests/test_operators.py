@@ -698,3 +698,25 @@ def test_asof_join_directions_tolerance_and_ties(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, direction="sideways")
+
+
+def test_tfidf_top_terms_exact(spark):
+    """tf-idf ranks a term that is frequent in one doc but rare across the
+    corpus above globally-common terms; scores match a python recompute."""
+    import math
+
+    from xorf_spark.operators.text import tf_idf_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple common common"),
+         (2, "common banana common cherry"),
+         (3, "common cherry cherry date")],
+        "doc_id long, text string")
+    out = tf_idf_terms(docs, k_top=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # doc 3: date (tf=1, df=1, score ln 3 ≈ 1.10) outranks cherry
+    # (tf=2, df=2, score 2·ln 1.5 ≈ 0.81)
+    assert top == {1: "apple", 2: "banana", 3: "date"}
+    for r in out:
+        want = math.floor(1e6 * r["tf"] * math.log(3.0 / r["df"]))
+        assert r["score_micro"] == want

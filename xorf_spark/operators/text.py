@@ -186,3 +186,42 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     expr = (f"array_min(transform(sequence(1, greatest(size({words}) - "
             f"{k} + 1, 1)), j -> xxhash64(slice({words}, j, {k}))))")
     return df.withColumn(out_col, F.expr(expr))
+
+
+def tf_idf_terms(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k_top: int = 3,
+                 n_docs: int | None = None) -> DataFrame:
+    """Top-k distinctive terms per document by tf-idf
+    (``tf · ln(N/df)``), exact and engine-portable.
+
+    Plan: explode → groupBy(doc, term) for tf (one shuffle), the
+    vocabulary-sized df table aggregated from tf and BROADCAST back (no
+    second big shuffle), then a per-doc row_number window. The score is
+    emitted as ``score_micro = floor(1e6 · tf · ln(N/df))`` — an integer
+    column, so cross-engine float drift (JVM vs libm ``ln`` differ by
+    ≤ 1 ulp) cannot flip equality checks except on a floor boundary
+    (probability ~2^-45 per row); ranking ties break on the term string.
+
+    At 100 TB: tf shuffles on (doc, term) — well-spread keys; df is
+    vocab-sized (≤ a few M rows) and broadcastable; the window shuffles
+    once more on doc_id. ``n_docs`` can be passed to skip the count job
+    when the caller already knows it.
+    """
+    from pyspark.sql.window import Window
+
+    n = n_docs if n_docs is not None else df.count()
+    w = df.select(F.col(id_col),
+                  F.explode(F.split(text_col, " ")).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("score_micro",
+                          F.floor(1e6 * F.col("tf")
+                                  * F.log(F.lit(float(n)) / F.col("df")))
+                          .cast("long")))
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("score_micro"),
+                                           F.asc("term")))
+    return (scored.withColumn("rank", rank.cast("int"))
+            .where(F.col("rank") <= k_top)
+            .select(id_col, "term", "tf", "df", "score_micro", "rank"))

@@ -969,6 +969,48 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per document by tf-idf (tf · ln(N/df)),
+    oracle-exact: the score rides as an integer micro-fixed-point column
+    (floor(1e6·score)) so both engines hash identically; ranking ties
+    break on the term string. Plan: one (doc,term) shuffle for tf, a
+    broadcast vocab-sized df table, one per-doc window
+    (operators/text.py::tf_idf_terms)."""
+    from .operators.text import tf_idf_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return (tf_idf_terms(docs, "text", "doc_id", k_top=3)
+            .orderBy("doc_id", "rank"))
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY 1
+),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(floor(1e6 * tf.tf * ln(CAST(n.n AS DOUBLE) / df.df))
+              AS BIGINT) AS score_micro
+  FROM tf, df, n WHERE tf.term = df.term
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, term) AS INTEGER) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, df, score_micro, rank
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus-level vocabulary statistics: the 25 most frequent words with
     exact counts plus global totals — explode → map-side-combined count →
@@ -1219,6 +1261,7 @@ def registry() -> dict[str, tuple]:
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
         "range_partition": (q_range_partition, ORACLE_RANGE_PARTITION),
+        "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
