@@ -638,3 +638,25 @@ def test_streaming_windowed_cms_and_bloom(spark, tmp_path):
     for r in spark.sql("select * from mg_win").collect():
         folded[r.group] = max(folded.get(r.group, 0.0), r.distinct_est)
     assert {g: int(v) for g, v in folded.items()} == exact
+
+
+def test_hll_union_and_intersection_estimate():
+    """union is lossless (== build over concatenation, byte-exact and
+    non-mutating); inclusion-exclusion intersection lands within
+    4σ·(|A|+|B|+|A∪B|) of the truth on a planted 30% overlap."""
+    a_keys = _hashes(120_000, seed=1)
+    b_keys = np.concatenate([a_keys[:40_000], _hashes(90_000, seed=2)])
+    a = HyperLogLog(p=13).add_hashes(a_keys)
+    b = HyperLogLog(p=13).add_hashes(b_keys)
+    a_bytes = a.to_bytes()
+    u = a.union(b)
+    assert a.to_bytes() == a_bytes  # non-mutating
+    whole = HyperLogLog(p=13).add_hashes(np.concatenate([a_keys, b_keys]))
+    assert u.to_bytes() == whole.to_bytes()
+    true_i = np.intersect1d(a_keys, b_keys).size
+    est_i = HyperLogLog.intersection_estimate(a, b)
+    slack = 4 * a.rel_error() * (a_keys.size + b_keys.size
+                                 + np.union1d(a_keys, b_keys).size)
+    assert abs(est_i - true_i) <= slack
+    with pytest.raises(ValueError):
+        a.union(HyperLogLog(p=11))

@@ -226,6 +226,66 @@ ORACLE_TDIGEST_GROUP_QUANTILES = ("SELECT source, TRUE AS rank_ok "
                                   "ORDER BY source")
 
 
+def q_hll_set_ops(spark, sf_dir):
+    """HLL set algebra across two corpus slices: distinct 4-word shingle
+    sets of src0 vs src1, union via the lossless register-max merge and
+    intersection via inclusion-exclusion. Emits the exact cardinalities
+    (SQL-reproducible) plus booleans asserting the published laws:
+    union within 4σ (σ = 1.04/√m), intersection within 4σ·(|A|+|B|+|A∪B|)
+    — the additive-error caveat documented on
+    HyperLogLog.intersection_estimate."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = docs.where(F.col("source").isin("src0", "src1")).select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+        )).alias("shingle"))
+    keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
+    ha = S.sketch_agg(keyed.where(F.col("source") == "src0"), "key", "hll",
+                      {"p": 14})
+    hb = S.sketch_agg(keyed.where(F.col("source") == "src1"), "key", "hll",
+                      {"p": 14})
+    est_u = ha.union(hb).estimate()
+    est_i = ha.intersection_estimate(ha, hb)
+    rel4 = 4 * ha.rel_error()
+    exact = (sh.groupBy().agg(
+        F.countDistinct(F.when(F.col("source") == "src0",
+                               F.col("shingle"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("source") == "src1",
+                               F.col("shingle"))).alias("n_b"),
+        F.countDistinct("shingle").alias("n_union")))
+    return exact.select(
+        "n_a", "n_b", "n_union",
+        (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_intersect"),
+        (F.abs(F.lit(est_u) - F.col("n_union"))
+         <= rel4 * F.col("n_union") + 3).alias("union_ok"),
+        (F.abs(F.lit(est_i)
+               - (F.col("n_a") + F.col("n_b") - F.col("n_union")))
+         <= rel4 * (F.col("n_a") + F.col("n_b") + F.col("n_union")) + 3)
+        .alias("intersect_ok"))
+
+
+ORACLE_HLL_SET_OPS = """
+WITH sh AS (
+  SELECT source, array_to_string(w[i:i+3], ' ') AS shingle
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE source IN ('src0', 'src1')),
+       LATERAL unnest(generate_series(1, greatest(len(w) - 3, 0))) AS t(i)
+)
+SELECT CAST(count(DISTINCT CASE WHEN source = 'src0' THEN shingle END)
+            AS BIGINT) AS n_a,
+       CAST(count(DISTINCT CASE WHEN source = 'src1' THEN shingle END)
+            AS BIGINT) AS n_b,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_union,
+       CAST(count(DISTINCT CASE WHEN source = 'src0' THEN shingle END)
+            + count(DISTINCT CASE WHEN source = 'src1' THEN shingle END)
+            - count(DISTINCT shingle) AS BIGINT) AS n_intersect,
+       TRUE AS union_ok, TRUE AS intersect_ok
+FROM sh
+"""
+
+
 def q_mg_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters over corpus words, keyed by the portable
     md5-derived word hash (bit-identical in Spark and DuckDB). The Spark
@@ -302,6 +362,7 @@ def registry() -> dict[str, tuple]:
                                     ORACLE_TDIGEST_GROUP_QUANTILES),
         "kll_quantiles": (q_kll_quantiles, _ORACLE_QUANTILES),
         "mg_heavy_hitters": (q_mg_heavy_hitters, ORACLE_MG_HEAVY_HITTERS),
+        "hll_set_ops": (q_hll_set_ops, ORACLE_HLL_SET_OPS),
         "sketch_merge_assoc": (q_sketch_merge_assoc,
                                ORACLE_SKETCH_MERGE_ASSOC),
     }

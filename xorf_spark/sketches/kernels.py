@@ -166,6 +166,23 @@ class HyperLogLog:
             e = m * math.log(m / zeros)
         return e
 
+    def union(self, other: "HyperLogLog") -> "HyperLogLog":
+        """Non-mutating union (register-wise max — lossless, the same law
+        ``merge`` applies in place)."""
+        return HyperLogLog(p=self.p,
+                           registers=self.registers.copy()).merge(other)
+
+    @staticmethod
+    def intersection_estimate(a: "HyperLogLog", b: "HyperLogLog") -> float:
+        """Inclusion-exclusion intersection estimate
+        ``|A| + |B| - |A∪B|``. Unlike union, this is NOT lossless: the
+        error is additive in the three estimates, so it scales with the
+        UNION size (σ ≲ 1.04/√m · (|A|+|B|+|A∪B|)) — a small
+        intersection of two large sets is noisy. Callers needing tight
+        small-intersection bounds should key a Bloom/filter probe
+        instead; this is the standard cheap overlap/Jaccard estimator."""
+        return a.estimate() + b.estimate() - a.union(b).estimate()
+
     def rel_error(self) -> float:
         """Standard error 1.04/sqrt(m) (Flajolet et al. 2007, Thm. 1)."""
         return 1.04 / math.sqrt(self.m)
