@@ -720,3 +720,46 @@ def test_tfidf_top_terms_exact(spark):
     for r in out:
         want = math.floor(1e6 * r["tf"] * math.log(3.0 / r["df"]))
         assert r["score_micro"] == want
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc embedding an eval 8-gram verbatim is dropped (or
+    flagged); disjoint docs survive; short docs (< n words) never match."""
+    from xorf_spark.operators.decontam import decontaminate, shingle_keys
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "prefix words the quick brown fox jumps over the lazy dog and more"),
+         (2, "completely different content with no overlap at all here okay"),
+         (3, "tiny doc")],
+        "doc_id long, text string")
+    clean = decontaminate(train, ev, n=8).select("doc_id").collect()
+    assert {r["doc_id"] for r in clean} == {2, 3}
+    flagged = {r["doc_id"]: r["contaminated"] for r in
+               decontaminate(train, ev, n=8, mode="flag").collect()}
+    assert flagged == {1: True, 2: False, 3: False}
+    # short docs emit zero shingles
+    assert shingle_keys(train.where("doc_id = 3"), n=8).count() == 0
+    with pytest.raises(ValueError):
+        decontaminate(train, ev, mode="purge")
+
+
+def test_shingle_ops_tolerate_short_docs(spark):
+    """Docs shorter than the shingle width emit zero shingles everywhere
+    (regression: sequence(1,0) is DESCENDING in Spark, so the old
+    greatest() clamp crashed slice() with start=0 on short inputs)."""
+    from xorf_spark.operators.decontam import shingle_keys
+
+    tiny = spark.createDataFrame([(1, "a b"), (2, "one")],
+                                 "doc_id long, text string")
+    assert shingle_keys(tiny, n=8).count() == 0
+    tok = spark.createDataFrame([(1, [1, 2]), (2, [7])],
+                                "doc_id long, tokens array<int>")
+    sigs = dedup.minhash_signatures(tok, num_perm=4, shingle=3).collect()
+    assert all(r["minhash"] == [None] * 4 or r["minhash"] is None
+               for r in sigs)  # empty shingle set -> null mins
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    jac = dedup.exact_jaccard(tok, pairs, shingle=3).collect()
+    assert len(jac) == 1

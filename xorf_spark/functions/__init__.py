@@ -2,4 +2,5 @@ from .registry import (  # noqa: F401
     md5long,
     register_sketch_udfs,
     register_sql_udfs,
+    shingle_starts_sql,
 )

@@ -45,6 +45,18 @@ def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
                            tdigest_cdf_udf(spark, tdigest))
 
 
+def shingle_starts_sql(arr: str, n: int) -> str:
+    """SQL fragment: ascending start indices ``[1 .. size(arr)-n+1]`` of
+    every n-element shingle of array expression ``arr``, EMPTY when the
+    array is shorter than n. Guards the Spark pitfall that
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` — the naive
+    ``greatest(size-n+1, 0)`` clamp emits a bogus start index 0 for short
+    inputs, which ``slice`` rejects at runtime."""
+    return (f"CASE WHEN size({arr}) >= {n} "
+            f"THEN sequence(1, size({arr}) - {n - 1}) "
+            f"ELSE array() END")
+
+
 def md5long(col) -> Column:
     """Portable 60-bit integer hash (identical in Spark and DuckDB/ANSI SQL):
     first 15 hex digits of md5 as a bigint. Used wherever an oracle-checkable

@@ -1,0 +1,74 @@
+"""Benchmark decontamination: drop (or flag) training documents that share
+any n-word shingle with an evaluation/benchmark set.
+
+This is the canonical LLM-pipeline use of the reference's filter family
+(the "fast filter in front of the slower exact check" pattern,
+reference src/lib.rs:2-4) at corpus scale:
+
+1. derive 64-bit shingle keys per training doc (pure Catalyst — split →
+   transform → xxhash64 inside a SQL lambda, no python in the row path);
+2. the eval set's distinct shingle keys build a binary-fuse filter via the
+   scale-routed inline build (broadcast ≤64MB / addFile-mmap / cogrouped —
+   ``dataflow.filter_semi_join``), which eliminates ~(1-FPP) of training
+   shingles BEFORE any shuffle;
+3. the surviving candidates hit the exact semi-join backstop, so the
+   contaminated-id set is EXACT over the 64-bit keys (a cross-doc xxhash64
+   shingle collision, p ≈ n_shingles²/2⁶⁴, is the only approximation — the
+   same convention as every *_zero_fn oracle query).
+
+Eval sets are tiny next to training corpora (thousands vs billions of
+docs), so the filter build is cheap and the probe-side saving is the whole
+game at 100 TB: contaminated docs are rare, and ~99.6%+ of shingle probes
+die in the JVM-side filter without shuffling a byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dataflow import filter_semi_join
+from ..functions import shingle_starts_sql
+
+
+def shingle_keys(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """``(id, key)`` rows: xxhash64 of every n-word shingle of ``text_col``
+    (whitespace tokens, the corpus-wide convention). Docs shorter than n
+    words emit no rows."""
+    words = f"split({text_col}, ' ')"
+    return df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform({shingle_starts_sql(words, n)}, "
+            f"i -> xxhash64(array_join(slice({words}, i, {n}), ' ')))"
+        )).alias("key"))
+
+
+def contaminated_ids(train: DataFrame, eval_df: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8, kind: str = "bfuse16") -> DataFrame:
+    """Distinct ids of training docs sharing ≥1 n-shingle with the eval
+    set (exact; filter pre-pass + exact backstop)."""
+    tsh = shingle_keys(train, text_col, id_col, n)
+    esh = shingle_keys(eval_df, text_col, id_col, n) \
+        .select("key").distinct()
+    return (filter_semi_join(tsh, esh, "key", "key", kind=kind)
+            .select(id_col).distinct())
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, kind: str = "bfuse16",
+                  mode: str = "drop") -> DataFrame:
+    """``mode="drop"``: training rows with contaminated docs removed
+    (anti-join on the exact contaminated-id set). ``mode="flag"``: all
+    training rows plus a boolean ``contaminated`` column."""
+    if mode not in ("drop", "flag"):
+        raise ValueError("mode must be 'drop' or 'flag'")
+    bad = contaminated_ids(train, eval_df, text_col, id_col, n, kind)
+    if mode == "drop":
+        return train.join(bad, id_col, "left_anti")
+    marked = bad.withColumn("contaminated", F.lit(True))
+    return (train.join(marked, id_col, "left")
+            .fillna(False, subset=["contaminated"]))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import shingle_starts_sql
+
 
 def exact_dedup(df: DataFrame, cols: list[str] | str,
                 id_col: str = "doc_id") -> DataFrame:
@@ -40,8 +42,9 @@ def minhash_signatures(df: DataFrame, tokens_col: str = "tokens",
     column, entirely as Catalyst array lambdas (no explode, no shuffle):
     sig[i] = min over shingles s of xxhash64(s, i).
     """
-    shingles = (f"transform(sequence(1, greatest(size({tokens_col}) - "
-                f"{shingle} + 1, 0)), j -> slice({tokens_col}, j, {shingle}))")
+    starts = shingle_starts_sql(tokens_col, shingle)
+    shingles = (f"transform({starts}, "
+                f"j -> slice({tokens_col}, j, {shingle}))")
     sig = (f"transform(sequence(0, {num_perm - 1}), "
            f"i -> array_min(transform({shingles}, s -> xxhash64(s, i))))")
     return df.withColumn(out_col, F.expr(sig))
@@ -99,15 +102,17 @@ def exact_jaccard(df: DataFrame, pairs: DataFrame, tokens_col: str = "tokens",
                   id_col: str = "doc_id", shingle: int = 3) -> DataFrame:
     """Exact shingle-set jaccard for candidate pairs (verification stage)."""
     shingles = F.array_distinct(F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {shingle} + 1, "
-        f"0)), j -> slice({tokens_col}, j, {shingle}))"))
+        f"transform({shingle_starts_sql(tokens_col, shingle)}, "
+        f"j -> slice({tokens_col}, j, {shingle}))"))
     sa = df.select(F.col(id_col).alias("id_a"), shingles.alias("sh_a"))
     sb = df.select(F.col(id_col).alias("id_b"), shingles.alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # two shingle-less (shorter-than-shingle) docs: define jaccard as 0.0
+    # rather than 0/0 (ANSI mode raises on the division)
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b",
-                    (inter / union).alias("jaccard")))
+            .select("id_a", "id_b", jac.alias("jaccard")))
 
 
 def minhash_dedup(df: DataFrame, tokens_col: str = "tokens",

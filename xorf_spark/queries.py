@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dataflow as D
+from .functions import shingle_starts_sql
 from .sources import tokens_from_documents
+
+#: guarded ascending start indices of 8-word shingles over split(text)
+_WORD8_STARTS = shingle_starts_sql("split(text, ' ')", 8)
+_WORD5_STARTS = shingle_starts_sql("split(text, ' ')", 5)
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -246,7 +251,7 @@ def q_shingle_stats(spark, sf_dir):
     sh = docs.select(
         "source",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)), "
+            f"transform({_WORD8_STARTS}, "
             "i -> array_join(slice(split(text, ' '), i, 8), ' '))"
         )).alias("shingle"))
     return (sh.groupBy("source")
@@ -277,7 +282,7 @@ def q_shingle_key_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)), "
+            f"transform({_WORD8_STARTS}, "
             "i -> array_join(slice(split(text, ' '), i, 8), ' '))"
         )).alias("shingle"))
     return sh.agg(F.countDistinct("shingle").alias("n_distinct_shingles"))
@@ -331,7 +336,7 @@ def _ngram_jaccard_edges(spark, sf_dir):
     sh = docs.select(
         F.col("doc_id"),
         F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
+            f"transform({_WORD5_STARTS}, "
             "i -> array_join(slice(split(text, ' '), i, 5), ' '))"
         ))).alias("shingle"))
     hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -969,6 +974,41 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): every 10th doc
+    plays the eval set; training docs sharing any 8-word shingle with it
+    are dropped. Exact by construction (binary-fuse pre-pass + exact
+    semi-join backstop), so the surviving doc_id list hash-matches the
+    oracle's string-level shingle join."""
+    from .operators.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return (decontaminate(train, ev, n=8, kind="bfuse16")
+            .select("doc_id").orderBy("doc_id"))
+
+
+ORACLE_DECONTAMINATE = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+ev AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tsh AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+       LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+esh AS (
+  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS shingle
+  FROM (SELECT string_split(text, ' ') AS w FROM ev),
+       LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+bad AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN esh USING (shingle))
+SELECT doc_id FROM train
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 distinctive terms per document by tf-idf (tf · ln(N/df)),
     oracle-exact: the score rides as an integer micro-fixed-point column
@@ -1262,6 +1302,7 @@ def registry() -> dict[str, tuple]:
         "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
         "range_partition": (q_range_partition, ORACLE_RANGE_PARTITION),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
+        "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import sketches as S
+from .functions import shingle_starts_sql
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -235,11 +236,12 @@ def q_hll_set_ops(spark, sf_dir):
     — the additive-error caveat documented on
     HyperLogLog.intersection_estimate."""
     docs = _load(spark, sf_dir, "documents")
+    starts4 = shingle_starts_sql("split(text, ' ')", 4)
     sh = docs.where(F.col("source").isin("src0", "src1")).select(
         "source",
         F.explode(F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
-            " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+            f"transform({starts4}, "
+            "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
         )).alias("shingle"))
     keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
     ha = S.sketch_agg(keyed.where(F.col("source") == "src0"), "key", "hll",
