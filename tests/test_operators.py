@@ -763,3 +763,39 @@ def test_shingle_ops_tolerate_short_docs(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     jac = dedup.exact_jaccard(tok, pairs, shingle=3).collect()
     assert len(jac) == 1
+
+
+def test_salted_skew_ops_exact_on_hot_keys(spark):
+    """Salted distinct-count and salted join are bit-identical to the
+    unsalted plans on a pathologically hot key (90% of rows share one
+    key), at several salt widths; invalid join types are rejected."""
+    from xorf_spark.operators.skew import salted_distinct_count, salted_join
+
+    n = 40_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        (F.col("id") % 997).alias("v"))
+    exact = {r["k"]: r["d"] for r in
+             left.groupBy("k").agg(F.countDistinct("v").alias("d"))
+             .collect()}
+    for n_salt in (2, 64):
+        got = {r["k"]: r["n_distinct_v"] for r in
+               salted_distinct_count(left, ["k"], "v", n_salt).collect()}
+        assert got == exact
+
+    right = spark.range(5000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 3).alias("payload"))
+    plain = sorted((r["k"], r["v"], r["payload"]) for r in
+                   left.join(right, "k").collect())
+    for how in ("inner", "left"):
+        salted = sorted(
+            (r["k"], r["v"], r["payload"]) for r in
+            salted_join(left, right, "k", n_salt=8, how=how).collect()
+            if r["payload"] is not None)
+        assert salted == plain
+    # left join keeps unmatched rows exactly once
+    lo = salted_join(left, right.where("k < 0"), "k", n_salt=4, how="left")
+    assert lo.count() == n
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full_outer")

@@ -974,6 +974,49 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_salted_skew_ops(spark, sf_dir):
+    """Explicit skew handling (operators/skew.py), result bit-identical to
+    the unsalted plans: per-returnflag exact supplier distinct count via
+    the two-level salted aggregation (COUNT DISTINCT is the aggregate
+    map-side partials can't fix on hot groups), and join-row count + exact
+    integer quantity total through an 8-way salted hot-key join of
+    lineitem against part."""
+    from .operators.skew import salted_distinct_count, salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    d = salted_distinct_count(li, ["l_returnflag"], "l_suppkey", n_salt=32)
+    joined = salted_join(
+        li.select("l_partkey", "l_returnflag",
+                  F.col("l_quantity").cast("long").alias("qty")),
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        on="l_partkey", n_salt=8)
+    agg = (joined.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n_joined"),
+                F.sum("qty").alias("sum_qty")))
+    return (d.join(agg, "l_returnflag")
+            .select("l_returnflag", "n_distinct_l_suppkey", "n_joined",
+                    "sum_qty")
+            .orderBy("l_returnflag"))
+
+
+ORACLE_SALTED_SKEW_OPS = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_l_suppkey
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_joined,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT d.l_returnflag, n_distinct_l_suppkey, n_joined, sum_qty
+FROM d JOIN j USING (l_returnflag) ORDER BY 1
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): every 10th doc
     plays the eval set; training docs sharing any 8-word shingle with it
@@ -1303,6 +1346,7 @@ def registry() -> dict[str, tuple]:
         "range_partition": (q_range_partition, ORACLE_RANGE_PARTITION),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
         "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+        "salted_skew_ops": (q_salted_skew_ops, ORACLE_SALTED_SKEW_OPS),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
