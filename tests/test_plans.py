@@ -122,3 +122,38 @@ def test_load_table_paths_and_catalog(spark, sf_dir):
 # plan legitimately duplicates the subtree (dedup happens at physical
 # exchange-reuse time) and the adaptive decision is environment-dependent
 # — a plan-string test on it is flaky by construction.
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_dir):
+    """The vocab-sized document-frequency table must reach the tf table as
+    a broadcast, never a shuffled join (the 100 TB plan shape)."""
+    from xorf_spark.operators.text import tf_idf_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = tf_idf_terms(docs)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
+
+
+def test_asof_join_single_window_no_range_join(spark, sf_dir):
+    """asof_join must stay a single running window — no cartesian/range
+    join anywhere in the plan."""
+    from xorf_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where("event_type='click'").select("event_id", "user_id",
+                                                   "ts")
+    views = ev.where("event_type='view'").select("user_id", "ts",
+                                                 "event_id", "value")
+    out = asof_join(clicks, views)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final plan plus an "== Initial Plan ==" echo — count
+    # nodes only in the final section
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("Window") == 1
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin"):
+        assert bad not in executed, bad
