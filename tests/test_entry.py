@@ -24,3 +24,41 @@ def test_registry_integrity(spark):
     import inspect
     for name, fn in qs.items():
         assert len(inspect.signature(fn).parameters) == 2, name
+def test_py_files_packaged_boundary(tmp_path):
+    """North-rule deployment contract: the library runs from the packaged
+    zip ALONE (spark-submit --py-files simulation). The subprocess runs
+    from a neutral cwd with no repo on sys.path: driver imports from the
+    zip, executors receive it via addPyFile, and a sharded build + probe
+    round-trips with zero false negatives."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["bash", f"{repo}/scripts/make_pyfiles.sh"], cwd=repo,
+                   check=True, capture_output=True)
+    zip_path = f"{repo}/dist/xorf_spark.zip"
+    prog = """
+import sys
+zip_path = sys.argv[1]
+sys.path.insert(0, zip_path)          # driver-side import: zip ONLY
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+spark.sparkContext.addPyFile(zip_path)   # executor side
+from xorf_spark import dataflow as D
+keys = spark.range(20000).select(F.xxhash64("id").alias("key"))
+shards = D.build_filter_df(keys, kind="bfuse8", n_shards=4)
+t = D.FilterTable.from_df(shards, n_shards=4)
+n = t.where_member(keys, "key").count()
+assert n == 20000, n
+print("PYFILES_OK")
+spark.stop()
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run([sys.executable, "-c", prog, zip_path],
+                       env=env, cwd=str(tmp_path),
+                       capture_output=True, text=True, timeout=300)
+    assert "PYFILES_OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+
