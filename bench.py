@@ -171,6 +171,12 @@ def main() -> None:
     timings["ngram_jaccard_pairs"] = round(secs, 3)
     secs, _ = best_of(lambda: Q.q_ann_cosine_topk(spark, sf_dir).collect())
     timings["ann_cosine_topk"] = round(secs, 3)
+    secs, _ = best_of(lambda: Q.q_asof_join(spark, sf_dir).collect())
+    timings["asof_join"] = round(secs, 3)
+    secs, _ = best_of(lambda: Q.q_decontaminate(spark, sf_dir).collect())
+    timings["decontaminate"] = round(secs, 3)
+    secs, _ = best_of(lambda: Q.q_tfidf_top_terms(spark, sf_dir).collect())
+    timings["tfidf_top_terms"] = round(secs, 3)
 
     # token pipeline end-to-end: synthesize 100k docs → 8-token shingle keys →
     # exact dedup → sharded bfuse8 build
