@@ -799,3 +799,40 @@ def test_salted_skew_ops_exact_on_hot_keys(spark):
     assert lo.count() == n
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full_outer")
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join agrees with pandas.merge_asof on random frames for both
+    directions, with and without a tolerance horizon (right timestamps
+    unique per key so ties between right rows cannot make either side
+    ambiguous)."""
+    import pandas as pd
+
+    from xorf_spark.operators.events import asof_join
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 300, 200
+    left = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "user_id": rng.integers(0, 8, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(n_r) + 1000,
+        "user_id": rng.integers(0, 8, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+    }).drop_duplicates(["user_id", "ts"])
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    for direction in ("backward", "forward"):
+        for tol in (None, 60):
+            got = {r["lid"]: r["rid_r"] for r in
+                   asof_join(sl, sr, direction=direction,
+                             tolerance_seconds=tol).collect()}
+            want_df = pd.merge_asof(
+                left.sort_values(["ts", "lid"]), right.sort_values("ts"),
+                on="ts", by="user_id", direction=direction,
+                tolerance=pd.Timedelta(seconds=tol) if tol else None)
+            want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                    for r in want_df.itertuples()}
+            assert got == want, (direction, tol)
