@@ -157,3 +157,53 @@ def test_asof_join_single_window_no_range_join(spark, sf_dir):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                 "SortMergeJoin"):
         assert bad not in executed, bad
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The 100 TB co-location story engine-side: two tables bucketed by the
+    join key (saveAsTable + bucketBy) join with ZERO Exchange in the final
+    plan — the shuffle is paid once at write time, then every future join
+    on that key is free. (repartition_by_quantiles gives the same property
+    for range work; this covers the hash-bucket case.)"""
+    import uuid
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable(f"{db}.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable(f"{db}.lineitem_b"))
+        # disable auto-broadcast so the shuffle-join path is exercised —
+        # that's the case bucketing exists to accelerate (at real scale
+        # neither fact table broadcasts)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (spark.table(f"{db}.orders_b")
+                      .join(spark.table(f"{db}.lineitem_b"),
+                            F.col("o_orderkey") == F.col("l_orderkey"))
+                      .groupBy("o_orderpriority")
+                      .agg(F.count(F.lit(1)).alias("n")))
+            rows = joined.collect()
+            final = (joined._jdf.queryExecution().executedPlan().toString()
+                     .split("== Initial Plan ==")[0])
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert len(rows) > 0
+        assert "SortMergeJoin" in final
+        assert final.count("Bucketed: true") == 2
+        # no exchange on either JOIN key — the only shuffle allowed is the
+        # post-join groupBy on o_orderpriority
+        assert "hashpartitioning(o_orderkey" not in final
+        assert "hashpartitioning(l_orderkey" not in final
+        # exact parity with the unbucketed join
+        plain = (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        assert sorted((r["o_orderpriority"], r["n"]) for r in rows) == \
+            sorted((r["o_orderpriority"], r["n"]) for r in plain.collect())
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
