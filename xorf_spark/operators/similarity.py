@@ -155,13 +155,16 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     return df.withColumn(out_col, udf(F.col(vec_col)).getItem(0))
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: np.ndarray,
-             k: int = 10, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate cosine top-k through the IVF index: each query probes its
-    ``nprobe`` nearest lists, candidates co-locate by list_id, exact rerank.
-    Returned cosines are exact; recall grows with nprobe (nprobe == n_lists
-    degenerates to exact brute force)."""
+def ivf_candidate_pairs(corpus: DataFrame, queries: DataFrame,
+                        centroids: np.ndarray, nprobe: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The IVF probe stage without the final ranking: each query expands to
+    its ``nprobe`` nearest lists, candidates co-locate by list_id, and
+    every surviving (query, neighbor) pair carries its exact cosine. With
+    ``nprobe == n_lists`` every corpus row is a candidate exactly once
+    (each corpus vector lives in one list), so the pair set equals the
+    brute-force cross join."""
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("nid"),
                       F.col(vec_col).alias("ne")), centroids, "ne")
@@ -169,9 +172,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: np.ndarray,
                        F.col(vec_col).alias("qe"))
     qp = q.withColumn("list_id", F.explode(
         _assign_udf(centroids, nprobe)(F.col("qe"))))
-    pairs = (c.join(F.broadcast(qp), "list_id")
-             .where(F.col("qid") != F.col("nid"))
-             .select("qid", "nid", _cosine("qe", "ne").alias("cosine")))
+    return (c.join(F.broadcast(qp), "list_id")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", _cosine("qe", "ne").alias("cosine")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: np.ndarray,
+             k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k through the IVF index: each query probes its
+    ``nprobe`` nearest lists, candidates co-locate by list_id, exact rerank.
+    Returned cosines are exact; recall grows with nprobe (nprobe == n_lists
+    degenerates to exact brute force)."""
+    pairs = ivf_candidate_pairs(corpus, queries, centroids, nprobe,
+                                id_col, vec_col)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

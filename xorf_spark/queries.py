@@ -658,6 +658,30 @@ FROM ranked WHERE rank <= 5 ORDER BY qid, rank
 """
 
 
+def q_ivf_ann_exhaustive(spark, sf_dir):
+    """IVF ANN driven through the driver gate: spherical-k-means index,
+    exhaustive probe (nprobe == n_lists), which is provably the exact
+    brute-force pair set — so the result hash-matches the SAME oracle as
+    ann_cosine_topk (reduced-recall operation at nprobe < n_lists is
+    pytest-covered with planted neighbors). Sims round to 4dp before
+    ranking for cross-engine tie stability, ties break on vec_id."""
+    from .operators.similarity import ivf_candidate_pairs, ivf_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    n_lists = 8
+    centroids = ivf_train(emb, n_lists=n_lists, sample_size=2_000, iters=4)
+    pairs = (ivf_candidate_pairs(emb, qs, centroids,
+                                 nprobe=len(centroids))
+             .select("qid", "nid", F.round("cosine", 4).alias("sim")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("qid", "nid", "rank")
+            .orderBy("qid", "rank"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup candidate pairs (threshold 0.30), grouped by
     whether the labels agree — the embedding flavor of dedup."""
@@ -1349,6 +1373,7 @@ def registry() -> dict[str, tuple]:
         "salted_skew_ops": (q_salted_skew_ops, ORACLE_SALTED_SKEW_OPS),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+        "ivf_ann_exhaustive": (q_ivf_ann_exhaustive, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
         "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
