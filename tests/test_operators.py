@@ -836,3 +836,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
                     for r in want_df.itertuples()}
             assert got == want, (direction, tol)
+
+
+def test_stratified_take_quota_and_determinism(spark):
+    """Exactly n per stratum (fewer when the stratum is smaller), identical
+    across partitionings, disjoint membership changes only via its own
+    stratum, and the sample is always a subset of the input."""
+    from xorf_spark.operators.text import stratified_take
+
+    docs = spark.range(1, 301).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(4))).alias("source"))
+    small = docs.where("doc_id <= 2")  # stratum s1/s2 nearly empty
+    base = docs.unionByName(small.limit(0))
+    got = stratified_take(base, ["source"], 10).groupBy("source") \
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 10 for r in got)
+    a = {(r["source"], r["doc_id"]) for r in
+         stratified_take(base, ["source"], 10).collect()}
+    b = {(r["source"], r["doc_id"]) for r in
+         stratified_take(base.repartition(13), ["source"], 10).collect()}
+    assert a == b
+    tiny = stratified_take(docs.where("doc_id <= 3"), ["source"], 10)
+    assert tiny.count() == 3  # strata smaller than n yield all their rows

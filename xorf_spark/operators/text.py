@@ -177,6 +177,37 @@ def deterministic_sample(df: DataFrame, fraction: float,
     return df.where(h < F.lit(threshold))
 
 
+def stratified_take(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
+                    id_col: str = "doc_id", salt: str = "",
+                    rank_col: str | None = None) -> DataFrame:
+    """Deterministic per-stratum sample of exactly ``n_per_stratum`` rows
+    (fewer if the stratum is smaller): the n rows with the smallest
+    ``md5(id || salt)`` hash per stratum — the balanced eval-set /
+    held-out-split selection op.
+
+    Same portability story as ``deterministic_sample`` (repeatable across
+    runs, partitionings, engines; oracle recomputes identical rows in
+    SQL), and additionally *quota-exact* per stratum, which a global
+    fraction cannot give on skewed strata. Cost: one shuffle on the
+    strata columns + a per-stratum top-n window (no global sort). A hot
+    stratum serializes into one sorted task — with million-row strata
+    prefilter with ``deterministic_sample`` first, then quota here.
+
+    ``rank_col`` optionally exposes the 1-based within-stratum rank."""
+    from pyspark.sql.window import Window
+
+    from ..functions.registry import md5long
+
+    h = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(),
+                                                F.col(id_col).asc())
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    out = ranked.where(F.col("__rk") <= n_per_stratum)
+    if rank_col is None:
+        return out.drop("__rk")
+    return out.withColumnRenamed("__rk", rank_col)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     out_col: str = "fingerprint", k: int = 4) -> DataFrame:
     """Rolling-hash document fingerprint: min xxhash64 over k-word windows

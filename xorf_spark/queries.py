@@ -998,6 +998,36 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_stratified_take(spark, sf_dir):
+    """Balanced per-source sample: exactly 5 docs per source, the ones with
+    the smallest md5(doc_id||'strat') hash (operators/text.py::
+    stratified_take) — quota-exact on skewed strata where a global
+    fraction cannot be, and bit-reproducible in ANSI SQL."""
+    from .operators.text import stratified_take
+
+    docs = load(spark, sf_dir, "documents")
+    return (stratified_take(docs, ["source"], 5, salt="strat",
+                            rank_col="rk")
+            .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+            .orderBy("source", "rk"))
+
+
+ORACLE_STRATIFIED_TAKE = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         {_md5long_sql("CAST(doc_id AS VARCHAR) || 'strat'")} AS hv
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY hv, doc_id) AS INTEGER) AS rk
+  FROM h
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 5 ORDER BY source, rk
+"""
+
+
 def q_salted_skew_ops(spark, sf_dir):
     """Explicit skew handling (operators/skew.py), result bit-identical to
     the unsalted plans: per-returnflag exact supplier distinct count via
@@ -1371,6 +1401,7 @@ def registry() -> dict[str, tuple]:
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
         "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
         "salted_skew_ops": (q_salted_skew_ops, ORACLE_SALTED_SKEW_OPS),
+        "stratified_take": (q_stratified_take, ORACLE_STRATIFIED_TAKE),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ivf_ann_exhaustive": (q_ivf_ann_exhaustive, ORACLE_ANN_COSINE_TOPK),
