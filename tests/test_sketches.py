@@ -660,3 +660,15 @@ def test_hll_union_and_intersection_estimate():
     assert abs(est_i - true_i) <= slack
     with pytest.raises(ValueError):
         a.union(HyperLogLog(p=11))
+
+
+def test_negative_weights_rejected():
+    """CMS ("never under") and MG (n/(k+1) decrement bound) both assume
+    cash-register (non-negative) updates — negative weights must raise,
+    not silently void the published law."""
+    keys = np.arange(5, dtype=np.int64)
+    with pytest.raises(ValueError):
+        CountMin(width=64, depth=2).add_hashes(
+            keys, np.array([1, -1, 1, 1, 1]))
+    with pytest.raises(ValueError):
+        MisraGries(k=8).add_hashes(keys, np.array([1, 1, -2, 1, 1]))

@@ -230,6 +230,10 @@ class CountMin:
             return self
         w = (np.ones(h.size, dtype=np.int64) if weights is None
              else weights.astype(np.int64, copy=False))
+        if weights is not None and (w < 0).any():
+            # the "never under" min-sketch law (Thm. 1) assumes cash-
+            # register updates; a negative weight silently voids it
+            raise ValueError("count-min requires non-negative weights")
         for r in range(self.depth):
             np.add.at(self.counts[r], self._indices(h, r), w)
         self.total += int(w.sum())
@@ -681,6 +685,10 @@ class MisraGries:
             self.n += int(h.size)
         else:
             w = np.asarray(weights).astype(np.int64, copy=False)
+            if (w < 0).any():
+                # the n/(k+1) decrement bound assumes monotone mass
+                raise ValueError(
+                    "misra-gries requires non-negative weights")
             uw = np.zeros(uk.size, dtype=np.int64)
             np.add.at(uw, inv, w)
             self.n += int(w.sum())
