@@ -129,6 +129,27 @@ if want("build_bfuse8_staged"):
         lambda: staged_build("bfuse8"))
     _sh.rmtree(_stage_dir, ignore_errors=True)
 
+# Staged probe (probe-side twin): JVM shuffle→parquet of the probe keys,
+# then a shuffle-free python task per shard reading its own files and
+# probing mmap'd fingerprints. Same no-Arrow-feed property as the staged
+# build — the probe path whose scaling models N→4N executors. The filter
+# build itself is NOT timed here.
+if want("probe_bfuse8_staged"):
+    _pb_shards = D.build_filter_df_staged(
+        keys, _stage_dir + "_pb", kind="bfuse8", n_shards=128)
+    _pb_table = D.FilterTable.from_df(_pb_shards, n_shards=128)
+    _pb_probes = spark.range(n_keys).select(
+        F.xxhash64(F.col("id") + 999_000_000).alias("key"))
+
+    def staged_probe():
+        res = D.probe_staged(_pb_probes, _pb_table, _stage_dir + "_pp")
+        n = res.agg(F.sum("n_probes")).collect()[0][0]
+        assert n == n_keys, (n, n_keys)
+
+    out["probe_bfuse8_staged_secs"] = best_of(staged_probe)
+    _sh.rmtree(_stage_dir + "_pb", ignore_errors=True)
+    _sh.rmtree(_stage_dir + "_pp", ignore_errors=True)
+
 
 # Warm-up + the rest of the jobs run AFTER the sketches: once a python stage
 # has consumed a *shuffled* input in this JVM (the sharded build), every
@@ -269,6 +290,7 @@ def main():
 
     jobs = {
         "build_bfuse8_staged": ("keys/sec", n_keys),
+        "probe_bfuse8_staged": ("lookups/sec", n_keys),
         "build_bfuse8": ("keys/sec", n_keys),
         "build_xor8": ("keys/sec", n_keys),
         "probe_bfuse8": ("lookups/sec", n_keys),

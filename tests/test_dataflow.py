@@ -254,3 +254,44 @@ def test_staged_resumable_table(spark, token_df, tmp_path):
                                uniform_random=False)
     got = {r["shard_id"]: bytes(r["fingerprints"]) for r in out.collect()}
     assert got == clean
+
+
+def test_probe_staged_counts_and_members(spark, tmp_path):
+    """Staged probe (probe-side twin of the staged build): per-shard counts
+    equal the broadcast-UDF verdicts — zero FN on inserted keys, FPP-level
+    acceptance on held-out keys — and members_dir materializes exactly the
+    passing keys."""
+    import pyspark.sql.functions as F
+
+    from xorf_spark import dataflow as D
+
+    keys = spark.range(60_000).select(F.xxhash64("id").alias("key"))
+    shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=4)
+    table = D.FilterTable.from_df(shard_df, n_shards=4)
+
+    # all inserted keys must pass (zero FN), counts must cover every probe
+    res = D.probe_staged(keys, table, str(tmp_path / "st1")).collect()
+    assert sum(r["n_probes"] for r in res) == 60_000
+    assert sum(r["n_members"] for r in res) == 60_000
+
+    # held-out keys: acceptance ~ FPP; members_dir holds exactly the passers
+    fresh = spark.range(60_000).select(
+        F.xxhash64(F.col("id") + 777_000_000).alias("key"))
+    mdir = str(tmp_path / "members")
+    res2 = D.probe_staged(fresh, table, str(tmp_path / "st2"),
+                          members_dir=mdir)
+    n_mem = sum(r["n_members"] for r in res2.collect())
+    assert n_mem < 60_000 * 0.02  # bfuse8 FPP ≈ 0.39%
+    written = spark.read.parquet(mdir)
+    assert written.count() == n_mem
+    # every materialized key re-probes TRUE through the UDF path
+    udf = table.contains_udf(spark)
+    assert written.where(~udf("key")).count() == 0
+
+    # null keys are excluded JVM-side, empty probe set yields empty result
+    with_null = keys.union(spark.sql("SELECT CAST(NULL AS LONG) AS key"))
+    res3 = D.probe_staged(with_null, table, str(tmp_path / "st3")).collect()
+    assert sum(r["n_probes"] for r in res3) == 60_000
+    empty = D.probe_staged(keys.where("key IS NULL AND key IS NOT NULL"),
+                           table, str(tmp_path / "st4"))
+    assert empty.count() == 0

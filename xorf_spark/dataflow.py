@@ -526,37 +526,17 @@ class FilterTable:
 
             return _contains
 
-        import tempfile
-
-        sc = spark.sparkContext
-        tag = uuid.uuid4().hex[:12]
-        tmpdir = tempfile.mkdtemp(prefix=f"xorf_fps_{tag}_")
-        meta: dict[int, dict] = {}
-        for sid, row in self.rows.items():
-            fname = f"xorf_{tag}_{sid}.bin"
-            path = f"{tmpdir}/{fname}"
-            with open(path, "wb") as fh:
-                fh.write(row["fingerprints"])
-            sc.addFile(path)
-            meta[sid] = {k: row[k] for k in row if k != "fingerprints"}
-            meta[sid]["__file"] = fname
-        bc_meta = sc.broadcast((meta, self.n_shards))
+        meta, tag = _ship_fp_files(spark, self.rows)
+        bc_meta = spark.sparkContext.broadcast((meta, self.n_shards))
 
         @pandas_udf("boolean")
         def _contains_mmap(keys: pd.Series) -> pd.Series:
-            from pyspark import SparkFiles
-
             table = _TABLE_CACHE.get(tag)
             if table is None:
                 meta_rows, n_shards = bc_meta.value
-                rows = {}
-                for sid, m in meta_rows.items():
-                    r = dict(m)
-                    dtype = _FP_DTYPES[_fp_bits(r["kind"])]
-                    r["fingerprints"] = np.memmap(
-                        SparkFiles.get(m["__file"]), dtype=dtype, mode="r")
-                    rows[sid] = r
-                table = FilterTable(rows, n_shards)
+                table = FilterTable(
+                    {sid: _row_from_meta(m) for sid, m in meta_rows.items()},
+                    n_shards)
                 _TABLE_CACHE[tag] = table
             return _probe_null_masked(table, keys)
 
@@ -570,6 +550,43 @@ class FilterTable:
         udf = self.contains_udf(df.sparkSession)
         cond = udf(F.col(key_col))
         return df.where(~cond if negate else cond)
+
+
+def _ship_fp_files(spark: SparkSession, rows: dict[int, dict]
+                   ) -> tuple[dict[int, dict], str]:
+    """Write each shard's fingerprints to a per-shard file shipped with
+    ``SparkContext.addFile`` (fetched once per executor NODE, then
+    ``np.memmap``-ed read-only by every worker process — one page-cache
+    copy per node instead of N heap copies). Returns
+    ``({shard_id: descriptor_row_with___file}, tag)``."""
+    import tempfile
+    import uuid
+
+    sc = spark.sparkContext
+    tag = uuid.uuid4().hex[:12]
+    tmpdir = tempfile.mkdtemp(prefix=f"xorf_fps_{tag}_")
+    meta: dict[int, dict] = {}
+    for sid, row in rows.items():
+        fname = f"xorf_{tag}_{sid}.bin"
+        path = f"{tmpdir}/{fname}"
+        with open(path, "wb") as fh:
+            fh.write(row["fingerprints"])
+        sc.addFile(path)
+        meta[sid] = {k: row[k] for k in row if k != "fingerprints"}
+        meta[sid]["__file"] = fname
+    return meta, tag
+
+
+def _row_from_meta(m: dict) -> dict:
+    """Reconstruct a probe-ready shard row from shipped meta: mmap the
+    fingerprint file (read-only, page-cache shared)."""
+    from pyspark import SparkFiles
+
+    r = dict(m)
+    dtype = _FP_DTYPES[_fp_bits(r["kind"])]
+    r["fingerprints"] = np.memmap(SparkFiles.get(m["__file"]), dtype=dtype,
+                                  mode="r")
+    return r
 
 
 _TABLE_CACHE: dict = {}
@@ -735,3 +752,86 @@ def probe_cogrouped(probe_df: DataFrame, shard_df: DataFrame,
     return (probes.groupBy("shard_id")
             .cogroup(shard_df.groupBy("shard_id"))
             .applyInPandas(probe, out_schema))
+
+
+def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
+                 key_col: str = "key",
+                 members_dir: str | None = None) -> DataFrame:
+    """Staged membership probe — the probe-side twin of
+    ``build_filter_df_staged``:
+
+    1. pure-JVM stage: non-null probe keys → hash-prefix ``shard_id`` →
+       ``write.partitionBy(shard_id)`` parquet under ``stage_dir`` (all
+       whole-stage codegen; no python touches a row);
+    2. shuffle-free python stage: one task per shard reads ITS OWN parquet
+       files with pyarrow and probes the shard's fingerprints, which
+       arrive via the addFile+mmap path (one page-cache copy per node).
+
+    No JVM→python Arrow feed of the key stream — the serial resource the
+    UDF probe contends on in local mode, and the reason this is the path
+    whose scaling models N→4N executors (BENCH/SCALING_2v8.md). Use it
+    when the verdict set is going to be materialized anyway (bulk
+    semi-join pre-pass, decontamination sweeps); use ``contains_udf`` /
+    ``where_member`` for interactive WHERE-clause probes.
+
+    Returns one row per probed shard: ``(shard_id, n_probes, n_members)``.
+    NULL keys are excluded JVM-side (their verdict is NULL, not a count).
+    With ``members_dir``, each task also writes its passing keys as
+    parquet under ``members_dir/shard_id=N/`` — the materialized
+    pre-pass output.
+    """
+    spark = probe_df.sparkSession
+    n_shards = table.n_shards
+    (probe_df.select(F.col(key_col).alias("key"))
+     .where(F.col(key_col).isNotNull())
+     .withColumn("shard_id", shard_id_col("key", n_shards))
+     .repartition(n_shards, "shard_id")
+     .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
+
+    meta, _tag = _ship_fp_files(spark, table.rows)
+    bc_meta = spark.sparkContext.broadcast(meta)
+    try:
+        shard_ids = [int(r.shard_id) for r in
+                     spark.read.parquet(stage_dir)
+                     .select("shard_id").distinct().collect()]
+    except Exception:   # empty probe set writes no partition dirs
+        shard_ids = []
+    out_schema = "shard_id int, n_probes long, n_members long"
+    if not shard_ids:
+        return spark.createDataFrame([], out_schema)
+    tasks = spark.createDataFrame([(s,) for s in shard_ids],
+                                  "shard_id int").repartition(len(shard_ids),
+                                                              "shard_id")
+
+    def probe_from_files(batches):
+        import glob as _glob
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        meta_rows = bc_meta.value
+        for pdf in batches:
+            for sid in pdf["shard_id"]:
+                sid = int(sid)
+                files = sorted(_glob.glob(
+                    f"{stage_dir}/shard_id={sid}/*.parquet"))
+                tbl = _pq.read_table(files, columns=["key"])
+                arr = tbl.column("key").combine_chunks().to_numpy(
+                    zero_copy_only=False).view(np.uint64)
+                m = meta_rows.get(sid)
+                if m is None:
+                    verdict = np.zeros(arr.size, dtype=bool)
+                else:
+                    verdict = _filter_from_row(_row_from_meta(m))(arr)
+                if members_dir is not None:
+                    d = f"{members_dir}/shard_id={sid}"
+                    _os.makedirs(d, exist_ok=True)
+                    _pq.write_table(
+                        _pa.table({"key": arr[verdict].view(np.int64)}),
+                        f"{d}/part-0.parquet")
+                yield pd.DataFrame([{"shard_id": sid,
+                                     "n_probes": int(arr.size),
+                                     "n_members": int(verdict.sum())}])
+
+    return tasks.mapInPandas(probe_from_files, out_schema)
