@@ -438,6 +438,20 @@ class FilterTable:
         self.n_shards = max(int(n_shards), 1)
         self.prefix_bits = int(math.log2(self.n_shards))
         self._fns: dict[int, object] = {}
+        #: per-SparkContext cache of shipped fingerprint files, keyed by
+        #: applicationId (NOT id(sc) — ids are reused after GC): shipping
+        #: ~GBs of fingerprints is a fixed cost worth paying once per table
+        self._shipped: dict[str, tuple[dict, str]] = {}
+
+    def ship_fps(self, spark: SparkSession) -> tuple[dict, str]:
+        """addFile-ship this table's fingerprints (once per SparkContext;
+        repeat probes reuse the same files)."""
+        app = spark.sparkContext.applicationId
+        hit = self._shipped.get(app)
+        if hit is None:
+            hit = _ship_fp_files(spark, self.rows)
+            self._shipped[app] = hit
+        return hit
 
     @classmethod
     def from_df(cls, shard_df: DataFrame, n_shards: int | None = None
@@ -526,7 +540,7 @@ class FilterTable:
 
             return _contains
 
-        meta, tag = _ship_fp_files(spark, self.rows)
+        meta, tag = self.ship_fps(spark)
         bc_meta = spark.sparkContext.broadcast((meta, self.n_shards))
 
         @pandas_udf("boolean")
@@ -788,7 +802,7 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
      .repartition(n_shards, "shard_id")
      .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
 
-    meta, _tag = _ship_fp_files(spark, table.rows)
+    meta, _tag = table.ship_fps(spark)
     bc_meta = spark.sparkContext.broadcast(meta)
     try:
         shard_ids = [int(r.shard_id) for r in
