@@ -1318,48 +1318,95 @@ FROM q ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_build_metrics(spark, sf_dir):
-    """Per-shard build lineage for a bfuse8 over lineitem keys: retries,
-    peel rounds, duplicates — the north-star resumability/metrics surface.
-    Deterministic but not SQL-derivable (rows-only driver check)."""
+    """Per-shard build lineage for a bfuse8 over lineitem keys — the
+    north-star resumability/metrics surface, oracle-checked: the summed
+    shard key counts (post dup-drop) must equal the exact distinct
+    (orderkey, linenumber) count (SQL-derivable), and per shard the
+    lineage laws hold — slots/key overhead within the small-shard
+    binary-fuse window (≤2.2× here; →1.125× at 16M-key shards), ≥1 peel
+    round, bounded retries."""
+    from pyspark.sql.window import Window
+
     li = load(spark, sf_dir, "lineitem")
     keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
     shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=8)
-    return (shard_df.select("shard_id", "kind", "n_keys", "num_slots",
-                            "retries", "duplicates", "peel_rounds")
+    total = F.sum("n_keys").over(Window.partitionBy())
+    return (shard_df.select(
+        "shard_id", "kind",
+        total.cast("long").alias("total_keys"),
+        ((F.col("num_slots") >= F.col("n_keys"))
+         & (F.col("num_slots") <= 2.2 * F.col("n_keys") + 256)
+         & (F.col("n_keys") > 0)
+         & (F.col("peel_rounds") >= 1)
+         & (F.col("retries") <= 100)).alias("lineage_ok"))
             .orderBy("shard_id"))
 
 
+ORACLE_BUILD_METRICS = """
+WITH t AS (
+  SELECT CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT shard_id, 'bfuse8' AS kind, n AS total_keys, TRUE AS lineage_ok
+FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS s(shard_id), t
+ORDER BY shard_id
+"""
+
+
 def q_zero_density(spark, sf_dir):
-    """Fingerprint zero-density uniformity analysis (port of the reference's
-    analysis/src/zeroes.rs windowed scan) over a bfuse8 shard table.
-    Deterministic; rows-only driver check."""
+    """Fingerprint zero-density uniformity (port of the reference's
+    analysis/src/zeroes.rs windowed scan) over a bfuse8 shard table,
+    oracle-checked against the uniformity law: a well-mixed byte table has
+    P(slot == 0) = 1/256, so each shard's zero count must sit within 5
+    binomial sigmas of num_slots/256."""
     from .analysis import fingerprint_zero_density
 
     li = load(spark, sf_dir, "lineitem")
     keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
     shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=4)
+    p0 = 1.0 / 256.0
+    mu = F.col("num_slots") * p0
+    sigma = F.sqrt(F.col("num_slots") * p0 * (1 - p0))
     return (fingerprint_zero_density(shard_df)
-            .select("shard_id", "kind", "num_slots", "n_zero")
+            .select("shard_id", "kind",
+                    (F.abs(F.col("n_zero") - mu) <= 5 * sigma)
+                    .alias("uniformity_ok"))
             .orderBy("shard_id"))
+
+
+ORACLE_ZERO_DENSITY = """
+SELECT shard_id, 'bfuse8' AS kind, TRUE AS uniformity_ok
+FROM (VALUES (0), (1), (2), (3)) AS s(shard_id) ORDER BY shard_id
+"""
 
 
 def q_fpp_measure(spark, sf_dir):
     """Measured false-positive counts per variant on deterministic held-out
     probes (the reference FPP test, src/bfuse8.rs:203-217, run distributed).
-    Deterministic; rows-only driver check (FPP itself is not SQL semantics).
-    """
+    Oracle-checked: measured acceptance on 1M held-out probes stays within
+    2x the published FPP bound per variant."""
     li = load(spark, sf_dir, "lineitem")
     keys = li.select(F.xxhash64("l_orderkey", "l_linenumber").alias("key"))
     probes = (spark.range(1_000_000)
               .select(F.xxhash64(F.col("id") + 77_000_000).alias("key")))
+    bounds = {"xor8": 0.00391, "bfuse8": 0.00391, "bfuse16": 1.53e-5}
     out = []
     for kind in ("xor8", "bfuse8", "bfuse16"):
         shard_df = D.build_filter_df(keys, kind=kind, n_shards=4)
         table = D.FilterTable.from_df(shard_df, n_shards=4)
         n_acc = table.where_member(probes, "key").count()
-        out.append((kind, 1_000_000, n_acc))
+        # ≤ 2× the published FPP bound on 1M held-out probes (+3σ-ish
+        # absolute slack for the tiny-FPP 16-bit variant)
+        ok = n_acc <= 2 * bounds[kind] * 1_000_000 + 25
+        out.append((kind, 1_000_000, bool(ok)))
     return spark.createDataFrame(
-        out, "kind string, n_probes bigint, n_accepted bigint")
+        out, "kind string, n_probes bigint, fpp_ok boolean")
+
+
+ORACLE_FPP_MEASURE = """
+SELECT kind, CAST(1000000 AS BIGINT) AS n_probes, TRUE AS fpp_ok
+FROM (VALUES ('xor8'), ('bfuse8'), ('bfuse16')) AS t(kind)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1413,9 +1460,9 @@ def registry() -> dict[str, tuple]:
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
         "media_decode_image": (q_media_decode_image, ORACLE_MEDIA_DECODE_IMAGE),
         "media_decode_audio": (q_media_decode_audio, ORACLE_MEDIA_DECODE_AUDIO),
-        "build_metrics": (q_build_metrics, None),
-        "fpp_measure": (q_fpp_measure, None),
-        "zero_density": (q_zero_density, None),
+        "build_metrics": (q_build_metrics, ORACLE_BUILD_METRICS),
+        "fpp_measure": (q_fpp_measure, ORACLE_FPP_MEASURE),
+        "zero_density": (q_zero_density, ORACLE_ZERO_DENSITY),
     })
     from . import sketch_queries
     reg.update(sketch_queries.registry())
