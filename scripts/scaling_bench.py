@@ -128,6 +128,10 @@ if want("build_bfuse8_staged"):
     out["build_bfuse8_staged_secs"] = best_of(
         lambda: staged_build("bfuse8"))
     _sh.rmtree(_stage_dir, ignore_errors=True)
+if want("build_xor8_staged"):
+    out["build_xor8_staged_secs"] = best_of(
+        lambda: staged_build("xor8"))
+    _sh.rmtree(_stage_dir, ignore_errors=True)
 
 # Staged probe (probe-side twin): JVM shuffle→parquet of the probe keys,
 # then a shuffle-free python task per shard reading its own files and
@@ -290,6 +294,7 @@ def main():
 
     jobs = {
         "build_bfuse8_staged": ("keys/sec", n_keys),
+        "build_xor8_staged": ("keys/sec", n_keys),
         "probe_bfuse8_staged": ("lookups/sec", n_keys),
         "build_bfuse8": ("keys/sec", n_keys),
         "build_xor8": ("keys/sec", n_keys),
