@@ -43,7 +43,6 @@ from pyspark.sql.types import (
 )
 
 from . import build as B
-from .filters import FILTER_CLASSES
 
 MASK64 = (1 << 64) - 1
 
