@@ -160,6 +160,14 @@ def main() -> None:
     timings["probe_bfuse8"] = round(secs, 3)
     probe_rate = n_keys / secs
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
+
+    # staged bulk probe (no JVM->python key feed; the 0.88-scaling path)
+    pstage_dir = tempfile.mkdtemp(prefix="xorf_pstage_")
+    secs, _ = best_of(
+        lambda: D.probe_staged(probes, table, pstage_dir)
+        .agg(F.sum("n_probes")).collect()[0][0])
+    timings["probe_bfuse8_staged"] = round(secs, 3)
+    probe_staged_rate = n_keys / secs
     shard_bf.unpersist()
 
     # --- sf-table queries (best-of-repeats: the first run of a query pays
@@ -203,6 +211,7 @@ def main() -> None:
             "xor8_build_keys_per_sec": round(xor_build_rate),
             "bfuse8_staged_build_keys_per_sec": round(staged_build_rate),
             "bfuse8_probe_lookups_per_sec": round(probe_rate),
+            "bfuse8_probe_staged_lookups_per_sec": round(probe_staged_rate),
             "bfuse8_probe_clean_lookups_per_sec": round(probe_clean_rate),
             "bfuse8_measured_fpp": fpp,
             "token_pipeline_shingle_keys_per_sec": round(shingle_rate),
