@@ -859,3 +859,47 @@ def test_stratified_take_quota_and_determinism(spark):
     assert a == b
     tiny = stratified_take(docs.where("doc_id <= 3"), ["source"], 10)
     assert tiny.count() == 3  # strata smaller than n yield all their rows
+
+
+def test_compact_parquet_rows_files_and_clustering(spark, tmp_path):
+    """Compaction preserves rows exactly, collapses a 64-file dataset to
+    the planned count, and with sort_cols produces range-clustered files
+    (every output file's min/max key range is disjoint — what footer
+    pruning needs)."""
+    import pyarrow.parquet as pq
+
+    from xorf_spark.operators.maintenance import (compact_parquet,
+                                                  plan_file_count)
+
+    src, dst, dst2 = (str(tmp_path / d) for d in ("src", "dst", "dst2"))
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("v"))
+    df.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+
+    m = compact_parquet(spark, src, dst, target_file_mb=1)
+    assert m["files_before"] == 64
+    assert m["files_after"] == m["n_files_planned"] < 64
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    m2 = compact_parquet(spark, src, dst2, target_file_mb=1,
+                         sort_cols=["k"])
+    ranges = []
+    for f in spark.read.parquet(dst2).inputFiles():
+        md = pq.read_metadata(f.replace("file:", ""))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)   # k is column 0
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2   # disjoint key ranges across files
+    assert m2["files_after"] == m2["n_files_planned"]
+
+    assert plan_file_count(0) == 1
+    assert plan_file_count(300 << 20, 256) == 2
