@@ -185,6 +185,8 @@ def main() -> None:
     timings["decontaminate"] = round(secs, 3)
     secs, _ = best_of(lambda: Q.q_tfidf_top_terms(spark, sf_dir).collect())
     timings["tfidf_top_terms"] = round(secs, 3)
+    secs, _ = best_of(lambda: Q.q_curation_pipeline(spark, sf_dir).collect())
+    timings["curation_pipeline"] = round(secs, 3)
 
     # token pipeline end-to-end: synthesize 100k docs → 8-token shingle keys →
     # exact dedup → sharded bfuse8 build

@@ -998,6 +998,91 @@ ORDER BY user_id, session_idx
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Flagship END-TO-END curation pipeline as ONE declarative DAG, exact
+    to the oracle through all four stages: (1) quality gate (≥30 words,
+    ≥70% alphabetic — the full Gopher rule set has its own green query),
+    (2) benchmark decontamination against the doc_id%10==0 eval split
+    (binary-fuse pre-pass + exact backstop), (3) exact text dedup keeping
+    the smallest doc_id, (4) deterministic sequence packing to seq_len=256
+    with global token offsets. Each stage is an operator from this repo;
+    Catalyst fuses the whole thing into one plan — the 'a user runs their
+    curation pipeline on this engine' statement."""
+    from pyspark.sql.window import Window
+
+    from .operators.decontam import contaminated_ids
+    from .operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    quality = docs.where((F.size(words) >= 30)
+                         & (alpha / F.size(words) >= 0.7))
+    train = quality.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    clean = train.join(contaminated_ids(train, ev, n=8, kind="bfuse16"),
+                       "doc_id", "left_anti")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (clean.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
+    packed = pack_sequences(
+        deduped.withColumn("n_tok", F.size(words)), 256,
+        "doc_id", "n_tok", salt="cur")
+    return (packed.select(
+        "doc_id", F.col("n_tok").cast("int").alias("n_tok"),
+        "start_offset", "start_pack", "end_pack", "pack_pos")
+        .orderBy("doc_id"))
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH q AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 30
+    AND len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[A-Za-z]')))
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.7
+),
+train AS (SELECT * FROM q WHERE doc_id % 10 <> 0),
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+tsh AS (
+  SELECT doc_id, array_to_string(words[i:i+7], ' ') AS shingle
+  FROM train,
+       LATERAL unnest(generate_series(1, greatest(len(words) - 7, 0))) AS t(i)
+),
+esh AS (
+  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS shingle
+  FROM (SELECT string_split(text, ' ') AS w FROM ev),
+       LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+bad AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN esh USING (shingle)),
+clean AS (
+  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+),
+dedup AS (
+  SELECT doc_id, len(words) AS n_tok,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM clean
+),
+d AS (
+  SELECT doc_id, n_tok,
+         {_md5long_sql("CAST(doc_id AS VARCHAR) || 'cur'")} AS pack_key
+  FROM dedup WHERE rn = 1
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY pack_key, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_offset
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 256 AS BIGINT) AS start_pack,
+       CAST((start_offset + n_tok - 1) // 256 AS BIGINT) AS end_pack,
+       CAST(start_offset % 256 AS BIGINT) AS pack_pos
+FROM c ORDER BY doc_id
+"""
+
+
 def q_stratified_take(spark, sf_dir):
     """Balanced per-source sample: exactly 5 docs per source, the ones with
     the smallest md5(doc_id||'strat') hash (operators/text.py::
@@ -1449,6 +1534,7 @@ def registry() -> dict[str, tuple]:
         "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
         "salted_skew_ops": (q_salted_skew_ops, ORACLE_SALTED_SKEW_OPS),
         "stratified_take": (q_stratified_take, ORACLE_STRATIFIED_TAKE),
+        "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
         "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
         "ivf_ann_exhaustive": (q_ivf_ann_exhaustive, ORACLE_ANN_COSINE_TOPK),
