@@ -295,3 +295,45 @@ def test_probe_staged_counts_and_members(spark, tmp_path):
     empty = D.probe_staged(keys.where("key IS NULL AND key IS NOT NULL"),
                            table, str(tmp_path / "st4"))
     assert empty.count() == 0
+
+
+def test_where_member_engines_agree(spark):
+    """The arrow batch probe and the pandas UDF probe return identical row
+    sets (members, negate, NULL keys excluded either way); auto picks
+    arrow only for key-only frames (wide frames must keep the
+    expression-level path that ships just the key column)."""
+    import pyspark.sql.functions as F
+
+    from xorf_spark import dataflow as D
+
+    keys = spark.range(80_000).select(F.xxhash64("id").alias("key"))
+    table = D.FilterTable.from_df(
+        D.build_filter_df(keys, kind="bfuse8", n_shards=4), n_shards=4)
+    probes = (spark.range(100_000)
+              .select(F.when(F.col("id") % 777 == 0, None)
+                      .otherwise(F.xxhash64("id")).alias("key")))
+    for negate in (False, True):
+        a = {r["key"] for r in
+             table.where_member(probes, negate=negate,
+                                engine="arrow").collect()}
+        p = {r["key"] for r in
+             table.where_member(probes, negate=negate,
+                                engine="pandas").collect()}
+        assert a == p, negate
+        assert None not in a
+    # absolute expectation so both engines being wrong the same way fails
+    # too: ids < 80k are all members (minus the ~103 nulled ones) —
+    # regression for the float64 batch-corruption bug, where null-bearing
+    # batches silently lost every member (observed: 892 of ~79.9k)
+    assert len({r["key"] for r in
+                table.where_member(probes, engine="pandas").collect()}
+               ) > 79_000
+    # wide frame: auto must take the pandas (expression) path and still
+    # keep all columns
+    wide = probes.withColumn("payload", F.lit("x" * 10))
+    out = table.where_member(wide, "key")
+    assert out.columns == ["key", "payload"]
+    assert out.count() == len(
+        {r["key"] for r in table.where_member(probes).collect()})
+    with pytest.raises(ValueError):
+        table.where_member(probes, engine="spicy")

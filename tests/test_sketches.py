@@ -552,9 +552,17 @@ def test_filter_probe_null_semantics(spark, keyed_df):
         .alias("key"))
     udf = table.contains_udf(spark)
     probe = with_nulls.withColumn("m", udf("key"))
-    assert probe.where(F.col("key").isNull()
-                       & F.col("m").isNotNull()).count() == 0
-    assert probe.where(F.col("key").isNotNull() & ~F.col("m")).count() == 0
+    # Collect WITHOUT a key-null predicate in the plan: a filter like
+    # key IS NOT NULL gets pushed BELOW the UDF, handing it null-free
+    # int64 batches — which masked the float64 batch-corruption bug for a
+    # whole round. Evaluate over the null-bearing batches, check in python.
+    rows = probe.collect()
+    assert any(r["key"] is None for r in rows)
+    for r in rows:
+        if r["key"] is None:
+            assert r["m"] is None          # NULL key -> NULL verdict
+        else:
+            assert r["m"] is True, r       # zero FN, even in null batches
 
 
 def test_sketch_cache_bounded():

@@ -270,7 +270,8 @@ def build_filter_df(keys_df: DataFrame, kind: str = "bfuse8",
     The shuffle key is the *hashed* key prefix — uniform by construction —
     so source/doc-length skew in the input cannot unbalance the build.
     """
-    keys = keys_df.select(F.col(key_col).alias("key"))
+    keys = (keys_df.select(F.col(key_col).alias("key"))
+            .where(F.col("key").isNotNull()))
     if dedup:
         keys = keys.distinct()
     if n_shards is None:
@@ -307,7 +308,8 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
     the two stages — the classic staged-pipeline trade).
     """
     spark = keys_df.sparkSession
-    keys = keys_df.select(F.col(key_col).alias("key"))
+    keys = (keys_df.select(F.col(key_col).alias("key"))
+            .where(F.col("key").isNotNull()))
     if n_shards is None:
         n_shards = pick_n_shards(keys.count())
     (keys.withColumn("shard_id", shard_id_col("key", n_shards))
@@ -338,8 +340,8 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
                 files = sorted(_glob.glob(
                     f"{stage_dir}/shard_id={sid}/*.parquet"))
                 tbl = _pq.read_table(files, columns=["key"])
-                arr = tbl.column("key").combine_chunks().to_numpy(
-                    zero_copy_only=False).view(np.uint64)
+                arr = (tbl.column("key").combine_chunks().drop_null()
+                       .to_numpy(zero_copy_only=False).view(np.uint64))
                 row = _build_shard_row(kind, fp_bits, sid, arr,
                                        uniform_random, time.time())
                 yield pd.DataFrame(
@@ -537,7 +539,7 @@ class FilterTable:
                     _TABLE_CACHE[cache_tag] = table
                 return _probe_null_masked(table, keys)
 
-            return _contains
+            return null_safe_udf(_contains, "boolean")
 
         meta, tag = self.ship_fps(spark)
         bc_meta = spark.sparkContext.broadcast((meta, self.n_shards))
@@ -553,16 +555,98 @@ class FilterTable:
                 _TABLE_CACHE[tag] = table
             return _probe_null_masked(table, keys)
 
-        return _contains_mmap
+        return null_safe_udf(_contains_mmap, "boolean")
 
     def where_member(self, df: DataFrame, key_col: str = "key",
-                     negate: bool = False) -> DataFrame:
+                     negate: bool = False,
+                     engine: str = "auto") -> DataFrame:
         """Membership pre-filter — the reference's stated use case
         (src/lib.rs:2-4): keep (or drop) rows whose key the filter accepts.
-        Zero false negatives ⇒ never drops a true member."""
-        udf = self.contains_udf(df.sparkSession)
-        cond = udf(F.col(key_col))
-        return df.where(~cond if negate else cond)
+        Zero false negatives ⇒ never drops a true member.
+
+        ``engine``: ``"pandas"`` routes through ``contains_udf`` (an
+        expression, so only the key column crosses the Arrow boundary —
+        right for wide rows); ``"arrow"`` uses a ``mapInArrow`` batch probe
+        (~30% faster, but ships EVERY column of ``df`` through Arrow);
+        ``"auto"`` picks arrow exactly when the frame is key-only."""
+        if engine not in ("auto", "arrow", "pandas"):
+            raise ValueError("engine must be auto | arrow | pandas")
+        if engine == "auto":
+            engine = "arrow" if df.columns == [key_col] else "pandas"
+        if engine == "pandas":
+            udf = self.contains_udf(df.sparkSession)
+            cond = udf(F.col(key_col))
+            return df.where(~cond if negate else cond)
+
+        import uuid
+
+        spark = df.sparkSession
+        tag = uuid.uuid4().hex
+        if self.total_fingerprint_bytes > (64 << 20):
+            meta, _t = self.ship_fps(spark)
+            bc = spark.sparkContext.broadcast((meta, self.n_shards, True))
+        else:
+            bc = spark.sparkContext.broadcast((self.rows, self.n_shards,
+                                               False))
+        out_schema = StructType(
+            df.schema.fields
+            + [StructField("__xorf_member", BooleanType(), True)])
+
+        def probe(batches):
+            table = _TABLE_CACHE.get(tag)
+            if table is None:
+                payload, ns, is_via = bc.value
+                rows = ({sid: _row_from_meta(m)
+                         for sid, m in payload.items()}
+                        if is_via else payload)
+                table = FilterTable(rows, ns)
+                _TABLE_CACHE[tag] = table
+            for b in batches:
+                col = b.column(b.schema.get_field_index(key_col))
+                if col.null_count:
+                    # NULL key → NULL verdict, so BOTH where(member) and
+                    # where(NOT member) exclude the row — SQL semantics,
+                    # identical to the pandas/null_safe_udf path
+                    mask = col.is_null().to_numpy(zero_copy_only=False)
+                    arr = (col.fill_null(0)
+                           .to_numpy(zero_copy_only=False).view(np.uint64))
+                    verdict = table.contains_np(arr)
+                    member = pa.array(verdict, type=pa.bool_(), mask=mask)
+                else:
+                    arr = col.to_numpy(zero_copy_only=False).view(np.uint64)
+                    member = pa.array(table.contains_np(arr),
+                                      type=pa.bool_())
+                yield b.append_column("__xorf_member", member)
+
+        flagged = df.mapInArrow(probe, out_schema)
+        cond = F.col("__xorf_member")
+        return (flagged.where(~cond if negate else cond)
+                .drop("__xorf_member"))
+
+
+def null_safe_udf(raw_udf, out_type: str):
+    """Wrap a keyed pandas UDF so nullable long columns NEVER reach python.
+
+    Why this exists: Arrow→pandas hands an int64 batch containing ANY null
+    to the UDF as float64, and float64 cannot represent all 64-bit keys —
+    every key in that batch silently loses low bits, which for a filter
+    probe means FALSE NEGATIVES (the one thing the contract forbids). The
+    returned callable applies the UDF as
+    ``CASE WHEN k IS NULL THEN NULL ELSE raw(coalesce(k, 0)) END`` — the
+    python side always sees a non-nullable int64 batch, and SQL null
+    semantics are applied JVM-side. The underlying pandas UDF stays
+    reachable as ``.raw`` (for ``spark.udf.register``; see
+    functions/registry.py, which registers a SQL-function wrapper with the
+    same guard)."""
+    def call(col):
+        if isinstance(col, str):
+            col = F.col(col)
+        return (F.when(col.isNull(), F.lit(None).cast(out_type))
+                .otherwise(raw_udf(F.coalesce(col, F.lit(0)))))
+
+    call.raw = raw_udf
+    call.out_type = out_type
+    return call
 
 
 def _ship_fp_files(spark: SparkSession, rows: dict[int, dict]
@@ -613,13 +697,16 @@ def _probe_null_masked(table: "FilterTable", keys: pd.Series) -> pd.Series:
     costs ~40% of probe throughput."""
     if keys.dtype == np.int64:  # non-nullable long column: no masking needed
         return pd.Series(table.contains_np(keys.to_numpy(np.int64)))
-    mask = keys.isna().to_numpy()
-    arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-    if not mask.any():
-        return pd.Series(table.contains_np(arr))
-    out = pd.Series(table.contains_np(arr), dtype="boolean")
-    out[mask] = pd.NA
-    return out
+    # A nullable long batch reaches pandas as float64, and float64 has
+    # already destroyed the low bits of every 64-bit key in the batch —
+    # probing the rounded keys would return silent FALSE NEGATIVES. The
+    # public UDFs prevent this via null_safe_udf (coalesce JVM-side);
+    # refuse rather than corrupt if a raw UDF meets a nullable column.
+    raise TypeError(
+        f"filter probe received a {keys.dtype} batch: a nullable long "
+        "column loses 64-bit key precision at the Arrow→pandas boundary. "
+        "Probe through the null-safe wrapper returned by contains_udf, "
+        "or filter NULL keys out first.")
 
 
 #: Above this many estimated fingerprint bytes the inline semi/anti-join stops
@@ -745,7 +832,13 @@ def probe_cogrouped(probe_df: DataFrame, shard_df: DataFrame,
     """Probe path for filters too large to broadcast: repartition probes by
     the same hash prefix used at build time and cogroup with the shard table,
     so each task sees exactly one shard's fingerprints (mmap-scale)."""
-    probes = probe_df.withColumn("shard_id", shard_id_col(key_col, n_shards))
+    # NULL keys never enter the python stage: a nullable long batch would
+    # reach pandas as float64 and corrupt every 64-bit key in it (silent
+    # false negatives). They rejoin afterwards with a NULL verdict.
+    null_rows = (probe_df.where(F.col(key_col).isNull())
+                 .withColumn(out_col, F.lit(None).cast("boolean")))
+    nn = probe_df.where(F.col(key_col).isNotNull())
+    probes = nn.withColumn("shard_id", shard_id_col(key_col, n_shards))
     out_schema = StructType(
         probe_df.schema.fields + [StructField(out_col, BooleanType(), True)])
 
@@ -754,17 +847,19 @@ def probe_cogrouped(probe_df: DataFrame, shard_df: DataFrame,
         if shard.empty or pkeys.empty:
             pkeys[out_col] = False
             return pkeys
+        if pkeys[key_col].dtype != np.int64:
+            raise TypeError(
+                f"cogrouped probe got a {pkeys[key_col].dtype} key batch "
+                "(nullable long → float64 loses 64-bit precision)")
         fn = _filter_from_row(shard.iloc[0].to_dict())
-        mask = pkeys[key_col].isna().to_numpy()
-        arr = pkeys[key_col].to_numpy(np.int64, na_value=0).view(np.uint64)
-        verdict = pd.Series(fn(arr), index=pkeys.index, dtype="boolean")
-        verdict[mask] = pd.NA
-        pkeys[out_col] = verdict
+        arr = pkeys[key_col].to_numpy(np.int64).view(np.uint64)
+        pkeys[out_col] = pd.Series(fn(arr), index=pkeys.index)
         return pkeys
 
-    return (probes.groupBy("shard_id")
-            .cogroup(shard_df.groupBy("shard_id"))
-            .applyInPandas(probe, out_schema))
+    probed = (probes.groupBy("shard_id")
+              .cogroup(shard_df.groupBy("shard_id"))
+              .applyInPandas(probe, out_schema))
+    return probed.unionByName(null_rows)
 
 
 def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,

@@ -17,10 +17,27 @@ from pyspark.sql import functions as F
 from ..dataflow import FilterTable
 
 
+def _register_null_safe(spark: SparkSession, name: str, wrapper,
+                        in_type: str, out_type: str) -> None:
+    """Register a null-safe keyed UDF for SQL: the raw pandas UDF goes in
+    as ``{name}_raw`` and a SQL function applies the same NULL guard the
+    python wrapper uses (a nullable long batch reaching pandas as float64
+    would corrupt 64-bit keys — see dataflow.null_safe_udf)."""
+    spark.udf.register(f"{name}_raw", wrapper.raw)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k {in_type}) "
+        f"RETURNS {out_type} RETURN "
+        f"CASE WHEN k IS NULL THEN NULL "
+        f"ELSE {name}_raw(coalesce(k, 0)) END")
+
+
 def register_sql_udfs(spark: SparkSession, table: FilterTable,
                       name: str = "xorf_contains") -> None:
-    """Register the vectorized membership probe as a SQL-callable function."""
-    spark.udf.register(name, table.contains_udf(spark))
+    """Register the vectorized membership probe as a SQL-callable function
+    (NULL-safe: ``name(NULL)`` is NULL, and null-bearing columns cannot
+    corrupt the probe batch)."""
+    _register_null_safe(spark, name, table.contains_udf(spark),
+                        "BIGINT", "BOOLEAN")
 
 
 def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
@@ -35,11 +52,13 @@ def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
     from ..sketches import bloom_contains_udf, cms_estimate_udf, tdigest_cdf_udf
 
     if bloom is not None:
-        spark.udf.register(f"{prefix}_bloom_contains",
-                           bloom_contains_udf(spark, bloom))
+        _register_null_safe(spark, f"{prefix}_bloom_contains",
+                            bloom_contains_udf(spark, bloom),
+                            "BIGINT", "BOOLEAN")
     if cms is not None:
-        spark.udf.register(f"{prefix}_cms_count",
-                           cms_estimate_udf(spark, cms))
+        _register_null_safe(spark, f"{prefix}_cms_count",
+                            cms_estimate_udf(spark, cms),
+                            "BIGINT", "BIGINT")
     if tdigest is not None:
         spark.udf.register(f"{prefix}_tdigest_cdf",
                            tdigest_cdf_udf(spark, tdigest))

@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 )
 
 from .kernels import KEYED_KINDS, SKETCH_KINDS, make_sketch, sketch_from_bytes
+from ..dataflow import null_safe_udf
 
 #: One row per partial sketch (per input partition, or per bucket in the
 #: resumable path). ``payload`` is the self-describing serialized sketch.
@@ -402,18 +403,18 @@ def _cached(tag: str, bc):
     return sk
 
 
-def _keys_with_null_mask(keys: pd.Series
-                         ) -> tuple[np.ndarray, np.ndarray | None]:
-    """(uint64 keys, null mask | None). Null positions get key 0 in the
-    array but MUST be masked out of the result (SQL semantics: f(NULL) IS
-    NULL) — probing them as literal key 0 would return key-0's answer.
-    ``mask is None`` signals a null-free batch so callers can skip the
-    (slow) nullable-array conversion — the common case."""
-    if keys.dtype == np.int64:
-        return keys.to_numpy(np.int64).view(np.uint64), None
-    mask = keys.isna().to_numpy()
-    arr = keys.to_numpy(np.int64, na_value=0).view(np.uint64)
-    return arr, (mask if mask.any() else None)
+def _probe_keys(keys: pd.Series) -> np.ndarray:
+    """uint64 view of a probe-key batch. The null-safe wrappers guarantee
+    the batch is non-nullable int64; a float64 arrival means a nullable
+    long column reached pandas directly, where its 64-bit keys have
+    ALREADY lost low bits — refuse rather than return corrupt answers."""
+    if keys.dtype != np.int64:
+        raise TypeError(
+            f"sketch probe received a {keys.dtype} batch: nullable long "
+            "columns lose 64-bit key precision at the Arrow→pandas "
+            "boundary. Probe through the null-safe wrapper these "
+            "factories return, or filter NULL keys first.")
+    return keys.to_numpy(np.int64).view(np.uint64)
 
 
 def cms_estimate_udf(spark: SparkSession, cms):
@@ -428,14 +429,9 @@ def cms_estimate_udf(spark: SparkSession, cms):
     @pandas_udf("long")
     def _est(keys: pd.Series) -> pd.Series:
         sk = _cached(tag, bc)
-        arr, mask = _keys_with_null_mask(keys)
-        if mask is None:
-            return pd.Series(sk.estimate_hashes(arr))
-        out = pd.Series(sk.estimate_hashes(arr), dtype="Int64")
-        out[mask] = pd.NA
-        return out
+        return pd.Series(sk.estimate_hashes(_probe_keys(keys)))
 
-    return _est
+    return null_safe_udf(_est, "long")
 
 
 def mg_estimate_udf(spark: SparkSession, mg):
@@ -479,11 +475,6 @@ def bloom_contains_udf(spark: SparkSession, bloom):
     @pandas_udf("boolean")
     def _contains(keys: pd.Series) -> pd.Series:
         sk = _cached(tag, bc)
-        arr, mask = _keys_with_null_mask(keys)
-        if mask is None:
-            return pd.Series(sk.contains_hashes(arr))
-        out = pd.Series(sk.contains_hashes(arr), dtype="boolean")
-        out[mask] = pd.NA
-        return out
+        return pd.Series(sk.contains_hashes(_probe_keys(keys)))
 
-    return _contains
+    return null_safe_udf(_contains, "boolean")

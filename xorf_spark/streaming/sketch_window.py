@@ -120,7 +120,10 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
     batch build over the same prefix of the stream (merge-law invariance).
     """
     params = dict(params or {})
-    bucketed = stream_df.select(
+    # NULL keys carry no membership/count information and a null-bearing
+    # long batch reaches pandas as float64, corrupting 64-bit keys —
+    # filter them stream-side (matches SQL aggregate null semantics)
+    bucketed = stream_df.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.col(group_col).cast("string").alias("group"),
         F.unix_timestamp(F.window(F.col(ts_col), window).start)

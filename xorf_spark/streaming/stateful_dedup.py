@@ -97,7 +97,10 @@ def stream_exact_dedup(stream_df: DataFrame, key_col: str = "key",
     p = n_buckets.bit_length() - 1
     if 1 << p != n_buckets:
         raise ValueError("n_buckets must be a power of two")
-    bucketed = stream_df.select(
+    # NULL keys are dropped stream-side: they identify nothing, and a
+    # null-bearing long batch reaches pandas as float64, corrupting every
+    # 64-bit key in it
+    bucketed = stream_df.where(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.shiftrightunsigned(F.col(key_col), 64 - p).cast("long")
         .alias("bucket"))
