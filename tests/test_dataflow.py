@@ -297,11 +297,12 @@ def test_probe_staged_counts_and_members(spark, tmp_path):
     assert empty.count() == 0
 
 
-def test_where_member_engines_agree(spark):
-    """The arrow batch probe and the pandas UDF probe return identical row
-    sets (members, negate, NULL keys excluded either way); auto picks
-    arrow only for key-only frames (wide frames must keep the
-    expression-level path that ships just the key column)."""
+def test_where_member_null_semantics_and_members(spark):
+    """where_member over a null-bearing probe column: NULL keys are
+    excluded for both member and negate, and membership stays exact — an
+    absolute member-count bound guards the float64 batch-corruption
+    regression (null-bearing batches once silently lost every member:
+    892 of ~79.9k found)."""
     import pyspark.sql.functions as F
 
     from xorf_spark import dataflow as D
@@ -312,28 +313,18 @@ def test_where_member_engines_agree(spark):
     probes = (spark.range(100_000)
               .select(F.when(F.col("id") % 777 == 0, None)
                       .otherwise(F.xxhash64("id")).alias("key")))
-    for negate in (False, True):
-        a = {r["key"] for r in
-             table.where_member(probes, negate=negate,
-                                engine="arrow").collect()}
-        p = {r["key"] for r in
-             table.where_member(probes, negate=negate,
-                                engine="pandas").collect()}
-        assert a == p, negate
-        assert None not in a
-    # absolute expectation so both engines being wrong the same way fails
-    # too: ids < 80k are all members (minus the ~103 nulled ones) —
-    # regression for the float64 batch-corruption bug, where null-bearing
-    # batches silently lost every member (observed: 892 of ~79.9k)
-    assert len({r["key"] for r in
-                table.where_member(probes, engine="pandas").collect()}
-               ) > 79_000
-    # wide frame: auto must take the pandas (expression) path and still
-    # keep all columns
-    wide = probes.withColumn("payload", F.lit("x" * 10))
+    members = {r["key"] for r in table.where_member(probes).collect()}
+    non_members = {r["key"] for r in
+                   table.where_member(probes, negate=True).collect()}
+    assert None not in members and None not in non_members
+    assert len(members) > 79_000            # ids < 80k are all members
+    assert not (members & non_members)
+    n_null = probes.where("key is null").count()
+    assert len(members) + len(non_members) + n_null \
+        == probes.select("key").distinct().count() + n_null - 1  # None once
+    # wide frames keep all columns through the probe
+    wide = probes.withColumn("payload", F.lit("x"))
     out = table.where_member(wide, "key")
     assert out.columns == ["key", "payload"]
-    assert out.count() == len(
-        {r["key"] for r in table.where_member(probes).collect()})
-    with pytest.raises(ValueError):
-        table.where_member(probes, engine="spicy")
+    assert out.count() == len(members)
+

@@ -558,70 +558,23 @@ class FilterTable:
         return null_safe_udf(_contains_mmap, "boolean")
 
     def where_member(self, df: DataFrame, key_col: str = "key",
-                     negate: bool = False,
-                     engine: str = "auto") -> DataFrame:
+                     negate: bool = False) -> DataFrame:
         """Membership pre-filter — the reference's stated use case
         (src/lib.rs:2-4): keep (or drop) rows whose key the filter accepts.
-        Zero false negatives ⇒ never drops a true member.
+        Zero false negatives ⇒ never drops a true member. NULL keys are
+        excluded either way (their verdict is NULL — SQL semantics).
 
-        ``engine``: ``"pandas"`` routes through ``contains_udf`` (an
-        expression, so only the key column crosses the Arrow boundary —
-        right for wide rows); ``"arrow"`` uses a ``mapInArrow`` batch probe
-        (~30% faster, but ships EVERY column of ``df`` through Arrow);
-        ``"auto"`` picks arrow exactly when the frame is key-only."""
-        if engine not in ("auto", "arrow", "pandas"):
-            raise ValueError("engine must be auto | arrow | pandas")
-        if engine == "auto":
-            engine = "arrow" if df.columns == [key_col] else "pandas"
-        if engine == "pandas":
-            udf = self.contains_udf(df.sparkSession)
-            cond = udf(F.col(key_col))
-            return df.where(~cond if negate else cond)
-
-        import uuid
-
-        spark = df.sparkSession
-        tag = uuid.uuid4().hex
-        if self.total_fingerprint_bytes > (64 << 20):
-            meta, _t = self.ship_fps(spark)
-            bc = spark.sparkContext.broadcast((meta, self.n_shards, True))
-        else:
-            bc = spark.sparkContext.broadcast((self.rows, self.n_shards,
-                                               False))
-        out_schema = StructType(
-            df.schema.fields
-            + [StructField("__xorf_member", BooleanType(), True)])
-
-        def probe(batches):
-            table = _TABLE_CACHE.get(tag)
-            if table is None:
-                payload, ns, is_via = bc.value
-                rows = ({sid: _row_from_meta(m)
-                         for sid, m in payload.items()}
-                        if is_via else payload)
-                table = FilterTable(rows, ns)
-                _TABLE_CACHE[tag] = table
-            for b in batches:
-                col = b.column(b.schema.get_field_index(key_col))
-                if col.null_count:
-                    # NULL key → NULL verdict, so BOTH where(member) and
-                    # where(NOT member) exclude the row — SQL semantics,
-                    # identical to the pandas/null_safe_udf path
-                    mask = col.is_null().to_numpy(zero_copy_only=False)
-                    arr = (col.fill_null(0)
-                           .to_numpy(zero_copy_only=False).view(np.uint64))
-                    verdict = table.contains_np(arr)
-                    member = pa.array(verdict, type=pa.bool_(), mask=mask)
-                else:
-                    arr = col.to_numpy(zero_copy_only=False).view(np.uint64)
-                    member = pa.array(table.contains_np(arr),
-                                      type=pa.bool_())
-                yield b.append_column("__xorf_member", member)
-
-        flagged = df.mapInArrow(probe, out_schema)
-        cond = F.col("__xorf_member")
-        return (flagged.where(~cond if negate else cond)
-                .drop("__xorf_member"))
+        Implementation note: this intentionally stays on the pandas-UDF
+        expression path (``contains_udf``): Spark's ArrowEvalPython ships
+        ONLY the key column to python and a bool back. A ``mapInArrow``
+        variant was measured interleaved at 32M probes on local[32] and
+        lost ~4× (6.0 vs 27.2M lookups/s) because it round-trips EVERY
+        column of ``df`` through the python worker. For bulk probes that
+        materialize results anyway, ``probe_staged`` is the no-feed scale
+        path."""
+        udf = self.contains_udf(df.sparkSession)
+        cond = udf(F.col(key_col))
+        return df.where(~cond if negate else cond)
 
 
 def null_safe_udf(raw_udf, out_type: str):
