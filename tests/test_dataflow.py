@@ -328,3 +328,19 @@ def test_where_member_null_semantics_and_members(spark):
     assert out.columns == ["key", "payload"]
     assert out.count() == len(members)
 
+
+
+def test_where_member_accepts_narrow_int_keys(spark):
+    """Integer key columns narrower than long (int32) widen losslessly
+    through the probe (regression: the float64 guard once rejected them)."""
+    import pyspark.sql.functions as F
+
+    from xorf_spark import dataflow as D
+
+    keys = spark.range(5_000).select(
+        F.col("id").cast("int").alias("key"))
+    table = D.FilterTable.from_df(
+        D.build_filter_df(keys.select(F.col("key").cast("long")
+                                      .alias("key")),
+                          kind="bfuse8", n_shards=1), n_shards=1)
+    assert table.where_member(keys, "key").count() == 5_000

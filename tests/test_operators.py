@@ -903,3 +903,23 @@ def test_compact_parquet_rows_files_and_clustering(spark, tmp_path):
 
     assert plan_file_count(0) == 1
     assert plan_file_count(300 << 20, 256) == 2
+
+
+def test_range_bucket_nan_and_null_agree_across_paths(spark):
+    """NaN and NULL both land in bucket -1 on BOTH assignment paths (the
+    Catalyst fold would otherwise rank NaN above every bound while the
+    UDF conflates it with NULL — regression for the path divergence)."""
+    from xorf_spark.operators.partitioning import bucket_expr, bucket_udf
+
+    bounds = [10.0, 20.0]
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, None), (5, float("nan"))],
+        "id long, v double")
+    got_expr = {r["id"]: r["b"] for r in
+                df.withColumn("b", bucket_expr("v", bounds)).collect()}
+    got_udf = {r["id"]: r["b"] for r in
+               df.withColumn("b", bucket_udf(spark, bounds)(
+                   F.col("v"))).collect()}
+    want = {1: 0, 2: 1, 3: 2, 4: -1, 5: -1}
+    assert got_expr == want
+    assert got_udf == want

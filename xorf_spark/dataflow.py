@@ -286,6 +286,35 @@ def build_filter_df(keys_df: DataFrame, kind: str = "bfuse8",
         _build_shard_fn(kind, uniform_random), SHARD_SCHEMA)
 
 
+def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
+                key_col: str = "key") -> list[int]:
+    """Shared staging stage: project non-null keys → hash-prefix shard id →
+    ``write.partitionBy(shard_id)`` parquet (pure JVM), then return the
+    shard ids that actually materialized. Used by both the staged build
+    and the staged probe so the layout and the empty-input handling can
+    never drift apart."""
+    spark = keys_df.sparkSession
+    (keys_df.select(F.col(key_col).alias("key"))
+     .where(F.col(key_col).isNotNull())
+     .withColumn("shard_id", shard_id_col("key", n_shards))
+     .repartition(n_shards, "shard_id")
+     .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
+    try:
+        return [int(r.shard_id) for r in
+                spark.read.parquet(stage_dir)
+                .select("shard_id").distinct().collect()]
+    except Exception:   # empty input writes no partition dirs at all
+        return []
+
+
+def _shard_tasks(spark: SparkSession, shard_ids: list[int]) -> DataFrame:
+    """One-row-per-shard task frame, repartitioned so every shard id gets
+    its own python task."""
+    return spark.createDataFrame(
+        [(s,) for s in shard_ids],
+        "shard_id int").repartition(len(shard_ids), "shard_id")
+
+
 def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
                            kind: str = "bfuse8", n_shards: int | None = None,
                            key_col: str = "key",
@@ -308,26 +337,14 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
     the two stages — the classic staged-pipeline trade).
     """
     spark = keys_df.sparkSession
-    keys = (keys_df.select(F.col(key_col).alias("key"))
-            .where(F.col("key").isNotNull()))
     if n_shards is None:
-        n_shards = pick_n_shards(keys.count())
-    (keys.withColumn("shard_id", shard_id_col("key", n_shards))
-     .repartition(n_shards, "shard_id")
-     .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
-
+        n_shards = pick_n_shards(
+            keys_df.where(F.col(key_col).isNotNull()).count())
     fp_bits = _fp_bits(kind)
-    try:
-        shard_ids = [int(r.shard_id) for r in
-                     spark.read.parquet(stage_dir)
-                     .select("shard_id").distinct().collect()]
-    except Exception:  # empty input writes no partition dirs at all
-        shard_ids = []
+    shard_ids = _stage_keys(keys_df, stage_dir, n_shards, key_col)
     if not shard_ids:
         return spark.createDataFrame([], SHARD_SCHEMA)
-    tasks = spark.createDataFrame([(s,) for s in shard_ids],
-                                  "shard_id int").repartition(len(shard_ids),
-                                                              "shard_id")
+    tasks = _shard_tasks(spark, shard_ids)
 
     def build_from_files(batches):
         import glob as _glob
@@ -504,8 +521,11 @@ class FilterTable:
         return out
 
     def contains_udf(self, spark: SparkSession, via_files: bool | None = None):
-        """Vectorized pandas UDF ``long key -> bool``; usable in WHERE
-        clauses, joins and SQL (after ``spark.udf.register``).
+        """Null-safe membership probe: a callable ``col -> Column`` for
+        WHERE clauses and joins (the raw pandas UDF is on ``.raw``; for
+        SQL strings use ``functions.register_sql_udfs``, which registers
+        a SQL-function wrapper with the same NULL guard — registering the
+        wrapper itself with ``spark.udf.register`` will NOT work).
 
         Two distribution modes for the fingerprint bytes:
 
@@ -594,8 +614,11 @@ def null_safe_udf(raw_udf, out_type: str):
     def call(col):
         if isinstance(col, str):
             col = F.col(col)
+        # cast("long") also widens narrower integer key columns (int32/
+        # int16) JVM-side, so python always sees exactly int64
         return (F.when(col.isNull(), F.lit(None).cast(out_type))
-                .otherwise(raw_udf(F.coalesce(col, F.lit(0)))))
+                .otherwise(raw_udf(
+                    F.coalesce(col, F.lit(0)).cast("long"))))
 
     call.raw = raw_udf
     call.out_type = out_type
@@ -648,7 +671,8 @@ def _probe_null_masked(table: "FilterTable", keys: pd.Series) -> pd.Series:
     pass NULL-keyed rows through a WHERE clause). Null-free batches (the
     common case) skip the nullable-BooleanArray conversion entirely — it
     costs ~40% of probe throughput."""
-    if keys.dtype == np.int64:  # non-nullable long column: no masking needed
+    if np.issubdtype(keys.dtype, np.integer):  # non-nullable int column:
+        # no masking needed; narrower ints widen losslessly
         return pd.Series(table.contains_np(keys.to_numpy(np.int64)))
     # A nullable long batch reaches pandas as float64, and float64 has
     # already destroyed the low bits of every 64-bit key in the batch —
@@ -800,11 +824,12 @@ def probe_cogrouped(probe_df: DataFrame, shard_df: DataFrame,
         if shard.empty or pkeys.empty:
             pkeys[out_col] = False
             return pkeys
-        if pkeys[key_col].dtype != np.int64:
+        if not np.issubdtype(pkeys[key_col].dtype, np.integer):
             raise TypeError(
                 f"cogrouped probe got a {pkeys[key_col].dtype} key batch "
                 "(nullable long → float64 loses 64-bit precision)")
         fn = _filter_from_row(shard.iloc[0].to_dict())
+        # narrower integer dtypes widen losslessly
         arr = pkeys[key_col].to_numpy(np.int64).view(np.uint64)
         pkeys[out_col] = pd.Series(fn(arr), index=pkeys.index)
         return pkeys
@@ -842,27 +867,13 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
     pre-pass output.
     """
     spark = probe_df.sparkSession
-    n_shards = table.n_shards
-    (probe_df.select(F.col(key_col).alias("key"))
-     .where(F.col(key_col).isNotNull())
-     .withColumn("shard_id", shard_id_col("key", n_shards))
-     .repartition(n_shards, "shard_id")
-     .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
-
     meta, _tag = table.ship_fps(spark)
     bc_meta = spark.sparkContext.broadcast(meta)
-    try:
-        shard_ids = [int(r.shard_id) for r in
-                     spark.read.parquet(stage_dir)
-                     .select("shard_id").distinct().collect()]
-    except Exception:   # empty probe set writes no partition dirs
-        shard_ids = []
+    shard_ids = _stage_keys(probe_df, stage_dir, table.n_shards, key_col)
     out_schema = "shard_id int, n_probes long, n_members long"
     if not shard_ids:
         return spark.createDataFrame([], out_schema)
-    tasks = spark.createDataFrame([(s,) for s in shard_ids],
-                                  "shard_id int").repartition(len(shard_ids),
-                                                              "shard_id")
+    tasks = _shard_tasks(spark, shard_ids)
 
     def probe_from_files(batches):
         import glob as _glob
@@ -886,11 +897,18 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
                 else:
                     verdict = _filter_from_row(_row_from_meta(m))(arr)
                 if members_dir is not None:
+                    # write to a temp name then atomically rename so a
+                    # retried/speculative task attempt can never leave a
+                    # half-written file as the surviving content (poor
+                    # man's task commit; on object stores route through a
+                    # Spark write instead)
                     d = f"{members_dir}/shard_id={sid}"
                     _os.makedirs(d, exist_ok=True)
+                    tmp = f"{d}/.part-0.parquet.tmp{_os.getpid()}"
                     _pq.write_table(
                         _pa.table({"key": arr[verdict].view(np.int64)}),
-                        f"{d}/part-0.parquet")
+                        tmp)
+                    _os.replace(tmp, f"{d}/part-0.parquet")
                 yield pd.DataFrame([{"shard_id": sid,
                                      "n_probes": int(arr.size),
                                      "n_members": int(verdict.sum())}])

@@ -26,7 +26,6 @@ rewrite-data-files action exposes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def dataset_bytes(spark: SparkSession, path: str) -> int:

@@ -15,8 +15,9 @@ boundaries. Boundaries derived from a mergeable sketch are
   instead of a sample collect per consumer job.
 
 Bucket assignment = ``searchsorted(bounds, v, side="right")``: bucket 0 is
-``v < bounds[0]``, bucket len(bounds) is ``v >= bounds[-1]``, NULLs go to
-bucket -1 (SQL nulls-first convention). Two equivalent implementations:
+``v < bounds[0]``, bucket len(bounds) is ``v >= bounds[-1]``, NULLs and
+NaNs go to bucket -1 (SQL nulls-first convention; a NaN has no place on
+the real line). Two equivalent implementations:
 a Catalyst fold over a literal boundary array (whole-stage codegen, O(B)
 per row — right answer for B ≤ a few hundred) and a broadcast pandas UDF
 doing vectorized binary search (O(log B), for wide bucket counts).
@@ -65,19 +66,26 @@ def quantile_boundaries(df: DataFrame, col: str, n_buckets: int,
 
 def bucket_expr(col: str, bounds: list[float]) -> Column:
     """Catalyst bucket assignment: count of boundaries ≤ value (== numpy
-    ``searchsorted(side="right")``), NULL → -1. Pure whole-stage-codegen
-    fold over a literal array — no python in the row path."""
+    ``searchsorted(side="right")``), NULL and NaN → -1 (a NaN has no
+    place on the real line; Spark's comparison semantics would otherwise
+    rank it above every bound while the UDF path cannot even distinguish
+    it from NULL — both paths agree on -1 instead). Pure
+    whole-stage-codegen fold over a literal array — no python in the row
+    path."""
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     v = F.col(col).cast("double")
     counted = F.aggregate(
         arr, F.lit(0),
         lambda acc, b: acc + F.when(v >= b, 1).otherwise(0))
-    return F.when(v.isNull(), F.lit(-1)).otherwise(counted).cast("int")
+    return (F.when(v.isNull() | F.isnan(v), F.lit(-1))
+            .otherwise(counted).cast("int"))
 
 
 def bucket_udf(spark: SparkSession, bounds: list[float]):
     """Broadcast + vectorized binary-search bucket assignment for wide
-    boundary lists (O(log B) per row, Arrow-batched), NULL → -1."""
+    boundary lists (O(log B) per row, Arrow-batched), NULL and NaN → -1
+    (matching ``bucket_expr`` — the pandas boundary conflates the two
+    anyway)."""
     from pyspark.sql.functions import pandas_udf
 
     bc = spark.sparkContext.broadcast(

@@ -243,13 +243,15 @@ def q_hll_set_ops(spark, sf_dir):
             f"transform({starts4}, "
             "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
         )).alias("shingle"))
+    sh = sh.cache()   # three consumers below: two sketch passes + exact
     keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
     ha = S.sketch_agg(keyed.where(F.col("source") == "src0"), "key", "hll",
                       {"p": 14})
     hb = S.sketch_agg(keyed.where(F.col("source") == "src1"), "key", "hll",
                       {"p": 14})
-    est_u = ha.union(hb).estimate()
-    est_i = ha.intersection_estimate(ha, hb)
+    u = ha.union(hb)
+    est_u = u.estimate()
+    est_i = ha.estimate() + hb.estimate() - est_u
     rel4 = 4 * ha.rel_error()
     exact = (sh.groupBy().agg(
         F.countDistinct(F.when(F.col("source") == "src0",
@@ -298,10 +300,11 @@ def q_mg_heavy_hitters(spark, sf_dir):
     (dsub = 0, every word retained); the over-capacity compaction regime is
     pytest-covered on a planted zipf stream with 200k distinct keys
     (tests/test_sketches.py::test_mg_bounds_on_skewed_stream)."""
+    from .functions.registry import md5long
+
     docs = _load(spark, sf_dir, "documents")
-    md5long = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10)
     words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
-             .withColumn("key", md5long.cast("long")))
+             .withColumn("key", md5long("word")))
     mg = S.sketch_agg(words, "key", "mg", {"k": 256})
     law_ok = mg.dsub <= mg.error_bound()
     est = S.mg_estimate_udf(spark, mg)

@@ -408,7 +408,7 @@ def _probe_keys(keys: pd.Series) -> np.ndarray:
     the batch is non-nullable int64; a float64 arrival means a nullable
     long column reached pandas directly, where its 64-bit keys have
     ALREADY lost low bits — refuse rather than return corrupt answers."""
-    if keys.dtype != np.int64:
+    if not np.issubdtype(keys.dtype, np.integer):
         raise TypeError(
             f"sketch probe received a {keys.dtype} batch: nullable long "
             "columns lose 64-bit key precision at the Arrow→pandas "
