@@ -326,6 +326,51 @@ SELECT word, n, TRUE AS mg_ok, TRUE AS retained FROM c ORDER BY word
 """
 
 
+def q_mg_group_top_word(spark, sf_dir):
+    """Per-source top word via grouped Misra-Gries (one MG summary per
+    source through grouped_sketch): k=256 exceeds the corpus vocabulary,
+    so every per-source summary is provably exact (dsub = 0, asserted)
+    and the argmax hash-matches the oracle's SQL argmax. Ties break on
+    (count desc, word asc) — applied on the decoded exact counts, not on
+    hash order."""
+    from .functions.registry import md5long
+
+    docs = _load(spark, sf_dir, "documents")
+    words = (docs.select("source",
+                         F.explode(F.split("text", " ")).alias("word"))
+             .withColumn("key", md5long("word")))
+    g = S.grouped_sketch(words, ["source"], "key", "mg", {"k": 256})
+    key2word = {r["key"]: r["word"] for r in
+                words.select("key", "word").distinct().collect()}
+    rows = []
+    for r in g.collect():
+        sk = S.sketch_from_bytes(r["payload"])
+        if sk.dsub != 0:   # vocabulary exceeded k — law still holds but
+            raise AssertionError("grouped MG expected exact on this corpus")
+        best = min((-int(c), key2word[int(k)])
+                   for k, c in zip(sk.keys.view("int64"), sk.counts))
+        rows.append((r["source"], best[1], -best[0]))
+    return (spark.createDataFrame(
+        rows, "source string, top_word string, n_top bigint")
+        .orderBy("source"))
+
+
+ORACLE_MG_GROUP_TOP_WORD = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+r AS (
+  SELECT source, word, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, word) AS rk
+  FROM c
+)
+SELECT source, word AS top_word, CAST(n AS BIGINT) AS n_top
+FROM r WHERE rk = 1 ORDER BY source
+"""
+
+
 def q_sketch_merge_assoc(spark, sf_dir):
     """Merge associativity/commutativity, byte-exact: for each keyed sketch,
     aggregate the same keys under different partitionings AND different
@@ -368,6 +413,7 @@ def registry() -> dict[str, tuple]:
         "kll_quantiles": (q_kll_quantiles, _ORACLE_QUANTILES),
         "mg_heavy_hitters": (q_mg_heavy_hitters, ORACLE_MG_HEAVY_HITTERS),
         "hll_set_ops": (q_hll_set_ops, ORACLE_HLL_SET_OPS),
+        "mg_group_top_word": (q_mg_group_top_word, ORACLE_MG_GROUP_TOP_WORD),
         "sketch_merge_assoc": (q_sketch_merge_assoc,
                                ORACLE_SKETCH_MERGE_ASSOC),
     }
