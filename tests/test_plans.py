@@ -207,3 +207,25 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
             sorted((r["o_orderpriority"], r["n"]) for r in plain.collect())
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_sql_registered_udf_null_safe(spark):
+    """The SQL surface goes through a SQL-function wrapper with the same
+    NULL guard as the python wrapper: f(NULL) IS NULL, and non-null keys
+    in null-bearing columns keep zero FN (float64-corruption regression,
+    SQL flavor)."""
+    keys = spark.range(20_000).select(F.xxhash64("id").alias("key"))
+    table = D.FilterTable.from_df(
+        D.build_filter_df(keys, kind="bfuse8", n_shards=2), n_shards=2)
+    register_sql_udfs(spark, table, name="xorf_contains_nulltest")
+    (keys.select(F.when(F.col("key") % 7 == 0, None)
+                 .otherwise(F.col("key")).alias("key"))
+     .createOrReplaceTempView("xorf_nullable_keys"))
+    rows = spark.sql(
+        "SELECT key, xorf_contains_nulltest(key) AS m "
+        "FROM xorf_nullable_keys").collect()
+    assert any(r["key"] is None for r in rows)
+    for r in rows:
+        assert (r["m"] is None) == (r["key"] is None)
+        if r["key"] is not None:
+            assert r["m"] is True
