@@ -680,3 +680,21 @@ def test_negative_weights_rejected():
             keys, np.array([1, -1, 1, 1, 1]))
     with pytest.raises(ValueError):
         MisraGries(k=8).add_hashes(keys, np.array([1, 1, -2, 1, 1]))
+
+
+def test_tdigest_cdf_udf_fractional_and_null(spark):
+    """The t-digest probe keeps FRACTIONAL values intact through the
+    null-safe wrapper (regression: the keyed wrapper's long cast would
+    truncate 0.5 → 0) and maps NULL → NULL."""
+    import numpy as np
+
+    from xorf_spark.sketches import TDigest, tdigest_cdf_udf
+
+    td = TDigest(delta=200).add(np.linspace(0.0, 1.0, 10_001))
+    udf = tdigest_cdf_udf(spark, td)
+    rows = (spark.createDataFrame([(0.5,), (0.25,), (None,)], "v double")
+            .withColumn("r", udf("v")).collect())
+    got = {r["v"]: r["r"] for r in rows}
+    assert got[None] is None
+    assert abs(got[0.5] - 0.5) < 0.01      # a long cast would give cdf(0)
+    assert abs(got[0.25] - 0.25) < 0.01

@@ -597,7 +597,7 @@ class FilterTable:
         return df.where(~cond if negate else cond)
 
 
-def null_safe_udf(raw_udf, out_type: str):
+def null_safe_udf(raw_udf, out_type: str, in_type: str = "long"):
     """Wrap a keyed pandas UDF so nullable long columns NEVER reach python.
 
     Why this exists: Arrow→pandas hands an int64 batch containing ANY null
@@ -614,11 +614,11 @@ def null_safe_udf(raw_udf, out_type: str):
     def call(col):
         if isinstance(col, str):
             col = F.col(col)
-        # cast("long") also widens narrower integer key columns (int32/
-        # int16) JVM-side, so python always sees exactly int64
+        # the cast also widens narrower integer key columns (int32/int16)
+        # JVM-side, so python sees exactly the expected dtype
         return (F.when(col.isNull(), F.lit(None).cast(out_type))
                 .otherwise(raw_udf(
-                    F.coalesce(col, F.lit(0)).cast("long"))))
+                    F.coalesce(col, F.lit(0)).cast(in_type))))
 
     call.raw = raw_udf
     call.out_type = out_type

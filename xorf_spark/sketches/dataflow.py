@@ -460,7 +460,10 @@ def tdigest_cdf_udf(spark: SparkSession, td):
         sk = _cached(tag, bc)
         return pd.Series(sk.cdf(vals.to_numpy(np.float64)))
 
-    return _cdf
+    # doubles lose nothing at the pandas boundary (NULL arrives as NaN),
+    # but SQL semantics say f(NULL) IS NULL, not NaN — same wrapper,
+    # double input (the default long cast would truncate fractions)
+    return null_safe_udf(_cdf, "double", in_type="double")
 
 
 def bloom_contains_udf(spark: SparkSession, bloom):
