@@ -923,3 +923,46 @@ def test_range_bucket_nan_and_null_agree_across_paths(spark):
     want = {1: 0, 2: 1, 3: 2, 4: -1, 5: -1}
     assert got_expr == want
     assert got_udf == want
+
+
+def test_decontaminate_property_planted_overlaps(spark):
+    """Property: for random corpora and random planted 8-gram overlaps,
+    decontaminate drops EXACTLY the train docs sharing a shingle with the
+    eval set (computed independently in python)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xorf_spark.operators.decontam import decontaminate
+
+    vocab = [f"w{i}" for i in range(40)]
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 2**31))
+    def check(seed):
+        rng = np.random.default_rng(seed)
+        ev_texts = [" ".join(rng.choice(vocab, 12)) for _ in range(3)]
+        train = []
+        for i in range(12):
+            words = list(rng.choice(vocab, 15))
+            if rng.random() < 0.5:   # plant a verbatim eval 8-gram
+                src = ev_texts[rng.integers(0, 3)].split()
+                start = rng.integers(0, len(src) - 7)
+                pos = rng.integers(0, 8)
+                words[pos:pos + 8] = src[start:start + 8]
+            train.append((i, " ".join(words)))
+        ev_df = spark.createDataFrame(
+            [(100 + j, t) for j, t in enumerate(ev_texts)],
+            "doc_id long, text string")
+        tr_df = spark.createDataFrame(train, "doc_id long, text string")
+
+        def shingles(text):
+            w = text.split()
+            return {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
+
+        ev_sh = set().union(*(shingles(t) for t in ev_texts))
+        want_clean = {i for i, t in train if not (shingles(t) & ev_sh)}
+        got_clean = {r["doc_id"] for r in
+                     decontaminate(tr_df, ev_df, n=8).collect()}
+        assert got_clean == want_clean, seed
+
+    check()
