@@ -510,6 +510,29 @@ def test_sql_registered_sketch_udfs(spark, keyed_df):
     assert rows and all(r.est >= r.true_n for r in rows)
 
 
+def test_sql_registered_tdigest_udf(spark, keyed_df):
+    """The tdigest branch of register_sketch_udfs must be SQL-callable
+    (regression: it used to register the Column-level null-safe wrapper,
+    which crashed with AttributeError at call time) and NULL-safe."""
+    from xorf_spark.functions import register_sketch_udfs
+    from xorf_spark.sketches import sketch_agg
+
+    td = sketch_agg(keyed_df, "v", "tdigest", {"delta": 300})
+    register_sketch_udfs(spark, tdigest=td, prefix="t_td")
+    keyed_df.createOrReplaceTempView("t_td_vals")
+    rows = spark.sql(
+        "SELECT v, t_td_tdigest_cdf(v) AS cdf FROM t_td_vals "
+        "WHERE v IN (0.0, 500.0, 996.0)").collect()
+    assert rows
+    for r in rows:
+        # v is uniform on [0, 997): cdf must track v/997 closely
+        assert abs(r.cdf - r.v / 997.0) < 0.05
+    # SQL null semantics: f(NULL) IS NULL, not NaN / key-0's verdict
+    null_row = spark.sql(
+        "SELECT t_td_tdigest_cdf(CAST(NULL AS DOUBLE)) AS cdf").collect()[0]
+    assert null_row.cdf is None
+
+
 def test_null_keys_ignored_and_probe_nulls(spark, keyed_df):
     """SQL null semantics end-to-end: null keys are dropped from keyed-sketch
     builds (never coerced through float64, which loses 64-bit precision) and

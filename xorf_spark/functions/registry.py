@@ -60,8 +60,9 @@ def register_sketch_udfs(spark: SparkSession, bloom=None, cms=None,
                             cms_estimate_udf(spark, cms),
                             "BIGINT", "BIGINT")
     if tdigest is not None:
-        spark.udf.register(f"{prefix}_tdigest_cdf",
-                           tdigest_cdf_udf(spark, tdigest))
+        _register_null_safe(spark, f"{prefix}_tdigest_cdf",
+                            tdigest_cdf_udf(spark, tdigest),
+                            "DOUBLE", "DOUBLE")
 
 
 def shingle_starts_sql(arr: str, n: int) -> str:
