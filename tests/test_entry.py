@@ -24,6 +24,30 @@ def test_registry_integrity(spark):
     import inspect
     for name, fn in qs.items():
         assert len(inspect.signature(fn).parameters) == 2, name
+
+
+def test_gate_window_covers_every_family():
+    """The driver runs the registry in order and historically caps at ~50
+    queries (CORRECTNESS_r02 recorded 50/64, dropping the sketch family
+    from the official record). Guard: every operator family has a
+    representative row inside the first 50 names."""
+    names = list(E.queries())
+    window = set(names[:50])
+    representatives = {
+        # filter family
+        "xor_zero_fn", "bfuse_zero_fn", "fuse_zero_fn", "doc_keys_zero_fn",
+        "bfuse8_semijoin", "build_metrics", "fpp_measure", "zero_density",
+        # sketch family (the north-rule core)
+        "hll_distinct", "hll_group_distinct", "cms_counts", "bloom_zero_fn",
+        "tdigest_quantiles", "kll_quantiles", "mg_heavy_hitters",
+        "hll_set_ops", "sketch_merge_assoc",
+        # pipeline / similarity / events / multimodal
+        "dedup_exact", "minhash_signatures", "decontaminate",
+        "pack_sequences", "curation_pipeline", "ann_cosine_topk",
+        "ann_ivf_recall", "sessionize", "asof_join", "media_decode_image",
+    }
+    missing = representatives - window
+    assert not missing, f"families pushed out of the 50-query gate: {missing}"
 def test_py_files_packaged_boundary(tmp_path):
     """North-rule deployment contract: the library runs from the packaged
     zip ALONE (spark-submit --py-files simulation). The subprocess runs

@@ -53,12 +53,17 @@ def _md5long_sql(expr: str) -> str:
 #: (kind, expansion factor) — the deprecated fuse family needs ≥~150k keys to
 #: peel (the reference's own test_fail_construction expects failure at 1k,
 #: src/fuse8.rs:177-184), so its key set is expanded deterministically.
-_VARIANTS = [("xor8", 1), ("xor16", 1), ("xor32", 1),
-             ("bfuse8", 1), ("bfuse16", 1), ("bfuse32", 1),
-             ("fuse8", 8), ("fuse16", 8), ("fuse32", 8)]
+_VARIANT_FAMILIES = [("xor", ["xor8", "xor16", "xor32"], 1),
+                     ("bfuse", ["bfuse8", "bfuse16", "bfuse32"], 1),
+                     ("fuse", ["fuse8", "fuse16", "fuse32"], 8)]
 
 
-def _zero_fn_query(kind: str, expand: int):
+def _family_zero_fn_query(kinds: list[str], expand: int):
+    """One driver-gate row per filter WIDTH of a family (folded from the
+    former per-variant queries so the whole registry fits the driver's
+    ~50-query window): build every width over the same key set, probe
+    all inserted keys, and report (kind, n_rows, n_true) — zero false
+    negatives means n_true == n_rows on every row."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load(spark, sf_dir, "lineitem")
         base = li.select("l_orderkey", "l_linenumber")
@@ -68,18 +73,28 @@ def _zero_fn_query(kind: str, expand: int):
         else:
             base = base.withColumn("i", F.lit(1))
         keyed = base.withColumn(
-            "key", F.xxhash64("l_orderkey", "l_linenumber", "i"))
-        n_shards = 1 if kind.startswith("fuse") else 4
-        shard_df = D.build_filter_df(keyed.select("key"), kind=kind,
-                                     n_shards=n_shards)
-        table = D.FilterTable.from_df(shard_df, n_shards=n_shards)
-        n_rows = keyed.count()
-        n_true = table.where_member(keyed, "key").count()
-        return spark.createDataFrame([(n_rows, n_true)],
-                                     "n_rows bigint, n_true bigint")
+            "key", F.xxhash64("l_orderkey", "l_linenumber", "i")).cache()
+        try:
+            n_rows = keyed.count()
+            out = []
+            for kind in kinds:
+                n_shards = 1 if kind.startswith("fuse") else 4
+                shard_df = D.build_filter_df(keyed.select("key"), kind=kind,
+                                             n_shards=n_shards)
+                table = D.FilterTable.from_df(shard_df, n_shards=n_shards)
+                n_true = table.where_member(keyed, "key").count()
+                out.append((kind, n_rows, n_true))
+        finally:
+            keyed.unpersist()
+        return spark.createDataFrame(
+            out, "kind string, n_rows bigint, n_true bigint")
 
-    oracle = (f"SELECT CAST(count(*) * {expand} AS BIGINT) AS n_rows, "
-              f"CAST(count(*) * {expand} AS BIGINT) AS n_true FROM lineitem")
+    values = ", ".join(f"('{k}')" for k in kinds)
+    oracle = (f"SELECT t.kind, "
+              f"CAST((SELECT count(*) FROM lineitem) * {expand} AS BIGINT) "
+              f"AS n_rows, "
+              f"CAST((SELECT count(*) FROM lineitem) * {expand} AS BIGINT) "
+              f"AS n_true FROM (VALUES {values}) AS t(kind)")
     return q, oracle
 
 
@@ -1498,12 +1513,50 @@ FROM (VALUES ('xor8'), ('bfuse8'), ('bfuse16')) AS t(kind)
 # Registry
 # ---------------------------------------------------------------------------
 
+#: Gate ordering: the driver runs the registry IN ORDER and historically
+#: caps at ~50 queries (CORRECTNESS_r02 recorded 50 of 64, silently
+#: dropping the whole sketch family from the official record). The first
+#: 50 names below therefore cover every operator family exactly once;
+#: the tail holds only redundant variants whose family already has an
+#: earlier row (each tail entry names its earlier representative).
+_GATE_ORDER = [
+    # filter core: build + probe every family/width, zero-FN contract
+    "xor_zero_fn", "bfuse_zero_fn", "fuse_zero_fn",
+    "doc_keys_zero_fn", "shingle_zero_fn", "hash_proxy_strings",
+    "bfuse8_semijoin", "filter_dedup_stream",
+    "build_metrics", "fpp_measure", "zero_density",
+    # sketch family (the north-rule core)
+    "hll_distinct", "hll_group_distinct", "cms_counts", "bloom_zero_fn",
+    "tdigest_quantiles", "kll_quantiles", "mg_heavy_hitters",
+    "hll_set_ops", "sketch_merge_assoc",
+    # token / text pipeline
+    "token_table", "shingle_stats", "shingle_key_dedup", "dedup_exact",
+    "ngram_jaccard_pairs", "neardup_components", "minhash_signatures",
+    "simhash", "doc_fingerprint", "text_quality", "gopher_rules",
+    "redact_pii", "deterministic_sample", "lang_id", "token_count",
+    "vocab_topk", "range_partition", "tfidf_top_terms", "decontaminate",
+    "salted_skew_ops", "curation_pipeline", "pack_sequences",
+    # similarity / events / multimodal
+    "ann_cosine_topk", "ann_ivf_recall", "embedding_neardup",
+    "events_hourly", "sessionize", "asof_join",
+    "multimodal_bytes", "media_decode_image",
+    # ---- position 50 ends above; redundant-variant tail below ----
+    "media_decode_audio",        # media family: media_decode_image
+    "tdigest_group_quantiles",   # grouped sketches: hll_group_distinct
+    "mg_group_top_word",         # MG family: mg_heavy_hitters
+    "bfuse16_antijoin",          # membership joins: bfuse8_semijoin
+    "xor16_semijoin_part",       # membership joins: bfuse8_semijoin
+    "ivf_ann_exhaustive",        # ANN family: ann_cosine_topk/ann_ivf_recall
+    "stratified_take",           # sampling: deterministic_sample
+]
+
+
 def registry() -> dict[str, tuple]:
-    """name -> (query_fn, oracle_sql | None)"""
+    """name -> (query_fn, oracle_sql | None), in _GATE_ORDER."""
     reg = {}
-    for kind, expand in _VARIANTS:
-        fn, sql = _zero_fn_query(kind, expand)
-        reg[f"{kind}_zero_fn"] = (fn, sql)
+    for fam, kinds, expand in _VARIANT_FAMILIES:
+        fn, sql = _family_zero_fn_query(kinds, expand)
+        reg[f"{fam}_zero_fn"] = (fn, sql)
     reg.update({
         "doc_keys_zero_fn": (q_doc_keys_zero_fn, ORACLE_DOC_KEYS_ZERO_FN),
         "shingle_zero_fn": (q_shingle_zero_fn, ORACLE_SHINGLE_ZERO_FN),
@@ -1552,4 +1605,6 @@ def registry() -> dict[str, tuple]:
     })
     from . import sketch_queries
     reg.update(sketch_queries.registry())
-    return reg
+    assert set(_GATE_ORDER) == set(reg), (
+        sorted(set(_GATE_ORDER) ^ set(reg)))
+    return {name: reg[name] for name in _GATE_ORDER}
