@@ -592,6 +592,14 @@ def test_pack_sequences_properties(spark):
         layouts.append({r["doc_id"]: r["start_offset"] for r in out})
     assert layouts[0] == layouts[1]  # partitioning-invariant
 
+    # scale guard: the partition offsets arrive via a broadcast hash join
+    # of a tiny (__pid, offset) frame, not the old O(P)-per-row
+    # coalesce(when(__pid==0,...)...) expression chain
+    from xorf_spark.plans.inspect import explain_str
+    plan = explain_str(pack_sequences(docs, 128, num_partitions=4))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "coalesce(CASE WHEN" not in plan
+
 
 def test_range_partitioning_boundaries_and_buckets(spark):
     """Sketch-driven range partitioning: boundaries are monotone, both

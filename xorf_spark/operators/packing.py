@@ -43,7 +43,13 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
         keyed = keyed.repartitionByRange(num_partitions, "pack_key")
     else:
         keyed = keyed.repartitionByRange("pack_key")
-    keyed = keyed.withColumn("__pid", F.spark_partition_id())
+    # Materialize the ranged partitioning ONCE before anything reads the
+    # partition ids: the totals job and the final projection must both see
+    # the same pid→rows mapping, and with AQE free to re-coalesce each
+    # independent execution, only a persisted frame pins it. The cached
+    # payload is just the input plus two small columns.
+    keyed = keyed.withColumn("__pid", F.spark_partition_id()).persist()
+    keyed.count()
 
     # parallel per-partition cumsum... (id tie-break for exact determinism
     # in the astronomically-unlikely event of a 60-bit key collision)
@@ -52,28 +58,35 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     local = keyed.withColumn(
         "__local_end", F.sum(F.col(n_tok_col).cast("long")).over(w))
 
-    # ...plus a KB-sized driver prefix-sum of per-partition totals
+    # ...plus a KB-sized driver prefix-sum of per-partition totals, shipped
+    # back as a tiny (__pid, __offset) frame and BROADCAST-joined — a
+    # per-row hash probe regardless of partition count, where the previous
+    # coalesce(when(__pid==0,...), when(__pid==1,...)) expression chain was
+    # O(P) per row and became a multi-MB Catalyst expression at the
+    # 10^4-10^5 partitions a 100 TB corpus needs.
     totals = sorted(
         (r["__pid"], r["t"]) for r in
         keyed.groupBy("__pid").agg(
             F.sum(F.col(n_tok_col).cast("long")).alias("t")).collect())
-    offsets = {}
+    rows = []
     running = 0
     for pid, t in totals:
-        offsets[pid] = running
+        rows.append((int(pid), running))
         running += int(t)
-    off_col = F.coalesce(*[
-        F.when(F.col("__pid") == pid, F.lit(off))
-        for pid, off in offsets.items()
-    ], F.lit(0)) if offsets else F.lit(0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(rows or [(0, 0)],
+                                   "__pid int, __offset long")
+    joined = local.join(F.broadcast(off_df), "__pid", "left").withColumn(
+        "__offset", F.coalesce(F.col("__offset"), F.lit(0)))
 
-    start = off_col + F.col("__local_end") - F.col(n_tok_col).cast("long")
-    end_incl = off_col + F.col("__local_end") - F.lit(1)
-    return (local
+    start = (F.col("__offset") + F.col("__local_end")
+             - F.col(n_tok_col).cast("long"))
+    end_incl = F.col("__offset") + F.col("__local_end") - F.lit(1)
+    return (joined
             .withColumn("start_offset", start)
             .withColumn("start_pack",
                         (F.col("start_offset") / seq_len).cast("long"))
             .withColumn("end_pack", (end_incl / seq_len).cast("long"))
             .withColumn("pack_pos",
                         F.col("start_offset") % seq_len)
-            .drop("__pid", "__local_end"))
+            .drop("__pid", "__local_end", "__offset"))
