@@ -1023,9 +1023,8 @@ def q_curation_pipeline(spark, sf_dir):
     with global token offsets. Each stage is an operator from this repo;
     Catalyst fuses the whole thing into one plan — the 'a user runs their
     curation pipeline on this engine' statement."""
-    from pyspark.sql.window import Window
-
     from .operators.decontam import contaminated_ids
+    from .operators.dedup import exact_dedup
     from .operators.packing import pack_sequences
 
     docs = load(spark, sf_dir, "documents")
@@ -1037,9 +1036,10 @@ def q_curation_pipeline(spark, sf_dir):
     ev = docs.where(F.col("doc_id") % 10 == 0)
     clean = train.join(contaminated_ids(train, ev, n=8, kind="bfuse16"),
                        "doc_id", "left_anti")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    deduped = (clean.withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") == 1).drop("__rn"))
+    # stage 3 via the dedup operator: the window partitions on
+    # xxhash64(text) — an 8-byte shuffle key — instead of the full
+    # document text
+    deduped = exact_dedup(clean, "text", "doc_id")
     packed = pack_sequences(
         deduped.withColumn("n_tok", F.size(words)), 256,
         "doc_id", "n_tok", salt="cur")
