@@ -974,3 +974,19 @@ def test_decontaminate_property_planted_overlaps(spark):
         assert got_clean == want_clean, seed
 
     check()
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter before the fixed point must be loud — silent
+    unconverged labels would give wrong cluster representatives."""
+    import pytest
+
+    from xorf_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and a sufficient budget still converges to one component
+    labels = connected_components(chain, max_iter=30).collect()
+    assert {r.component for r in labels} == {0}

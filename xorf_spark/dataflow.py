@@ -29,6 +29,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -303,8 +304,35 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
         return [int(r.shard_id) for r in
                 spark.read.parquet(stage_dir)
                 .select("shard_id").distinct().collect()]
-    except Exception:   # empty input writes no partition dirs at all
+    except AnalysisException:
+        # empty input writes no partition dirs at all, so schema inference
+        # fails — the ONLY case this may swallow; anything else (transient
+        # FS error, permissions) must propagate, because returning [] here
+        # would yield an empty shard table whose probes answer False for
+        # every key: silent false negatives
         return []
+
+
+def _stage_shard_files(stage_dir: str, sid: int):
+    """List one staged shard's parquet files filesystem-agnostically:
+    ``pyarrow.fs.FileSystem.from_uri`` resolves plain local paths AND
+    object-store URIs (s3://, hdfs://, gs://), so the staged build/probe
+    workers genuinely run against shared object storage on a multi-node
+    cluster — raw ``glob.glob`` only ever worked on a shared POSIX mount.
+    Returns ``(paths, filesystem)`` for ``pq.read_table(...,
+    filesystem=...)``; raises loudly if the shard directory is missing
+    (a listed shard id with no files would otherwise silently probe
+    False-for-everything)."""
+    from pyarrow import fs as _pafs
+
+    fsys, base = _pafs.FileSystem.from_uri(stage_dir)
+    sel = _pafs.FileSelector(f"{base.rstrip('/')}/shard_id={sid}")
+    paths = sorted(f.path for f in fsys.get_file_info(sel)
+                   if f.is_file and f.path.endswith(".parquet"))
+    if not paths:
+        raise FileNotFoundError(
+            f"staged shard {sid} has no parquet files under {stage_dir}")
+    return paths, fsys
 
 
 def _shard_tasks(spark: SparkSession, shard_ids: list[int]) -> DataFrame:
@@ -347,16 +375,14 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
     tasks = _shard_tasks(spark, shard_ids)
 
     def build_from_files(batches):
-        import glob as _glob
-
         import pyarrow.parquet as _pq
 
         for pdf in batches:
             for sid in pdf["shard_id"]:
                 sid = int(sid)
-                files = sorted(_glob.glob(
-                    f"{stage_dir}/shard_id={sid}/*.parquet"))
-                tbl = _pq.read_table(files, columns=["key"])
+                files, fsys = _stage_shard_files(stage_dir, sid)
+                tbl = _pq.read_table(files, columns=["key"],
+                                     filesystem=fsys)
                 arr = (tbl.column("key").combine_chunks().drop_null()
                        .to_numpy(zero_copy_only=False).view(np.uint64))
                 row = _build_shard_row(kind, fp_bits, sid, arr,
@@ -876,7 +902,6 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
     tasks = _shard_tasks(spark, shard_ids)
 
     def probe_from_files(batches):
-        import glob as _glob
         import os as _os
 
         import pyarrow as _pa
@@ -886,9 +911,9 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
         for pdf in batches:
             for sid in pdf["shard_id"]:
                 sid = int(sid)
-                files = sorted(_glob.glob(
-                    f"{stage_dir}/shard_id={sid}/*.parquet"))
-                tbl = _pq.read_table(files, columns=["key"])
+                files, fsys = _stage_shard_files(stage_dir, sid)
+                tbl = _pq.read_table(files, columns=["key"],
+                                     filesystem=fsys)
                 arr = tbl.column("key").combine_chunks().to_numpy(
                     zero_copy_only=False).view(np.uint64)
                 m = meta_rows.get(sid)

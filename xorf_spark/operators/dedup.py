@@ -206,6 +206,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter before a fixed point means the returned
+        # labels are NOT components — callers like minhash_dedup_clusters
+        # would silently pick wrong representatives
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            f"max_iter — component diameter exceeds it")
     return labels.select("node", F.col("label").alias("component"))
 
 
