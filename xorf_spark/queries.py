@@ -34,6 +34,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition a narrow scan before a high-fanout derivation (shingle
+    explode, per-doc tokenization) — but ONLY when the source has fewer
+    partitions than the cluster has cores. A small corpus lands in one or
+    two parquet files, and without this the whole explode+aggregate chain
+    runs on one task; at real scale the input is already wide and the
+    (full-corpus!) shuffle must not happen, hence the guard. Hash-keyed
+    repartition, not round-robin: round-robin output is
+    placement-nondeterministic under task retries."""
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(F.col(key))
+    return df
+
+
 # md5-derived 60-bit integer hash — bit-identical in Spark and DuckDB
 def _md5long_spark(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -345,7 +360,7 @@ def _ngram_jaccard_edges(spark, sf_dir):
     k² join rows, which is the classic inverted-index blowup at corpus scale.
     Jaccard is then computed over the filtered shingle space (sizes counted
     after the cap, mirrored exactly in the oracle)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_fanout(load(spark, sf_dir, "documents"))
     # within-doc array_distinct == global (doc_id, shingle) distinct (doc_id
     # is unique per row), so no distinct() shuffle is needed at all
     sh = docs.select(
@@ -1027,7 +1042,7 @@ def q_curation_pipeline(spark, sf_dir):
     from .operators.dedup import exact_dedup
     from .operators.packing import pack_sequences
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_fanout(load(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
     quality = docs.where((F.size(words) >= 30)
@@ -1179,7 +1194,7 @@ def q_decontaminate(spark, sf_dir):
     oracle's string-level shingle join."""
     from .operators.decontam import decontaminate
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_fanout(load(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 10 != 0)
     ev = docs.where(F.col("doc_id") % 10 == 0)
     return (decontaminate(train, ev, n=8, kind="bfuse16")
@@ -1215,7 +1230,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     (operators/text.py::tf_idf_terms)."""
     from .operators.text import tf_idf_terms
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_fanout(load(spark, sf_dir, "documents"))
     return (tf_idf_terms(docs, "text", "doc_id", k_top=3)
             .orderBy("doc_id", "rank"))
 
@@ -1315,7 +1330,7 @@ def q_pack_sequences(spark, sf_dir):
     global window cumsum."""
     from .operators.packing import pack_sequences
 
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_fanout(load(spark, sf_dir, "documents"))
     docs = docs.withColumn("n_tok", F.size(F.split("text", " ")))
     return (pack_sequences(docs, 512, "doc_id", "n_tok", salt="pack")
             .select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
