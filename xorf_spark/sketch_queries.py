@@ -332,7 +332,15 @@ def q_mg_group_top_word(spark, sf_dir):
     so every per-source summary is provably exact (dsub = 0, asserted)
     and the argmax hash-matches the oracle's SQL argmax. Ties break on
     (count desc, word asc) — applied on the decoded exact counts, not on
-    hash order."""
+    hash order.
+
+    Decode is DISTRIBUTED: only the per-group MG summaries (groups x k
+    rows, KB-sized by the operator's contract) come to the driver; the
+    key->word mapping stays a distributed join — the tiny summary frame
+    is broadcast against the full (key, word) vocabulary table, so the
+    pattern survives a real vocabulary (no collect() of the vocab)."""
+    from pyspark.sql import Window
+
     from .functions.registry import md5long
 
     docs = _load(spark, sf_dir, "documents")
@@ -340,19 +348,23 @@ def q_mg_group_top_word(spark, sf_dir):
                          F.explode(F.split("text", " ")).alias("word"))
              .withColumn("key", md5long("word")))
     g = S.grouped_sketch(words, ["source"], "key", "mg", {"k": 256})
-    key2word = {r["key"]: r["word"] for r in
-                words.select("key", "word").distinct().collect()}
-    rows = []
+    entries = []
     for r in g.collect():
         sk = S.sketch_from_bytes(r["payload"])
         if sk.dsub != 0:   # vocabulary exceeded k — law still holds but
             raise AssertionError("grouped MG expected exact on this corpus")
-        best = min((-int(c), key2word[int(k)])
-                   for k, c in zip(sk.keys.view("int64"), sk.counts))
-        rows.append((r["source"], best[1], -best[0]))
-    return (spark.createDataFrame(
-        rows, "source string, top_word string, n_top bigint")
-        .orderBy("source"))
+        entries += [(r["source"], int(k), int(c))
+                    for k, c in zip(sk.keys.view("int64"), sk.counts)]
+    est = spark.createDataFrame(entries,
+                                "source string, key bigint, est bigint")
+    vocab = words.select("key", "word").distinct()
+    decoded = vocab.join(F.broadcast(est), "key")
+    w = Window.partitionBy("source").orderBy(F.desc("est"), F.asc("word"))
+    return (decoded.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("source", F.col("word").alias("top_word"),
+                    F.col("est").cast("long").alias("n_top"))
+            .orderBy("source"))
 
 
 ORACLE_MG_GROUP_TOP_WORD = """
