@@ -721,3 +721,60 @@ def test_tdigest_cdf_udf_fractional_and_null(spark):
     assert got[None] is None
     assert abs(got[0.5] - 0.5) < 0.01      # a long cast would give cdf(0)
     assert abs(got[0.25] - 0.25) < 0.01
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark mode: rows arriving later than the watermark
+    are DROPPED before the state function (a straggler cannot skew a
+    closed window), while on-time windows keep folding. Batches are fed
+    incrementally so the watermark advances deterministically."""
+    from xorf_spark.streaming import stream_windowed_sketch
+
+    src = str(tmp_path / "wm_stream")
+
+    def batch(lo, hi, ts):
+        return spark.range(lo, hi).select(
+            F.xxhash64("id").alias("key"), F.lit("a").alias("grp"),
+            F.to_timestamp(F.lit(ts)).alias("ts"))
+
+    batch(0, 1000, "2026-01-01 00:10:00").write.parquet(src + "/b1")
+    stream = spark.readStream.schema("key long, grp string, ts timestamp") \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    out = stream_windowed_sketch(stream, "key", "grp", "hll", {"p": 13},
+                                 window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("wm_win")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    # advance the watermark far past window 0's end + lateness allowance
+    batch(5000, 5200, "2026-01-01 03:00:00").write.parquet(src + "/b2")
+    q.processAllAvailable()
+    # straggler: 1000 NEW keys stamped inside window 0, arriving after the
+    # watermark passed — must be dropped, not folded
+    batch(10_000, 11_000, "2026-01-01 00:20:00").write.parquet(src + "/b3")
+    q.processAllAvailable()
+    q.stop()
+
+    ws0 = int(spark.sql(
+        "select unix_timestamp(timestamp '2026-01-01 00:00:00')"
+    ).collect()[0][0])
+    final: dict = {}
+    for r in spark.sql("select * from wm_win").collect():
+        k = (r.group, r.window_start)
+        final[k] = max(final.get(k, 0.0), r.distinct_est)
+    est0 = final[("a", ws0)]
+    # 1000 on-time keys only; folding the 1000 late keys would read ~2000
+    assert abs(est0 - 1000) / 1000 < 4 * 1.04 / (2 ** 6.5), est0
+    assert ("a", ws0 + 3 * 3600) in final  # on-time window 3 present
+
+
+def test_streaming_watermark_and_retention_exclusive(spark):
+    import pytest
+
+    from xorf_spark.streaming import stream_windowed_sketch
+
+    with pytest.raises(ValueError, match="not both"):
+        stream_windowed_sketch(
+            spark.readStream.format("rate").load()
+            .selectExpr("value as key", "'g' as grp", "timestamp as ts"),
+            "key", "grp", "hll", {"p": 12},
+            retention="1 hour", watermark="10 minutes")

@@ -41,6 +41,26 @@ _OUT_SCHEMA = StructType([
 ])
 
 
+_UNIT_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+
+
+def _interval_ms(spec: str | int) -> int:
+    """Milliseconds of a simple interval spec ('10 minutes', '1 hour', or a
+    plain int of ms) — the subset of Spark's interval syntax these
+    streaming helpers accept."""
+    if isinstance(spec, int):
+        return spec
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>' interval, got {spec!r}")
+    n, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in _UNIT_MS:
+        raise ValueError(f"unsupported interval unit in {spec!r}")
+    return int(n) * _UNIT_MS[unit]
+
+
 def _headline(kind: str, sk) -> float:
     if kind == "hll":
         return float(sk.estimate())
@@ -51,7 +71,8 @@ def _headline(kind: str, sk) -> float:
     return float(sk.n)  # mg: total weight folded so far
 
 
-def _make_fold_fn(kind: str, params: dict, retention=None):
+def _make_fold_fn(kind: str, params: dict, retention=None,
+                  evict_after_ms: int | None = None):
     def fold(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
              ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -70,7 +91,17 @@ def _make_fold_fn(kind: str, params: dict, retention=None):
             sk.add_hashes(keys)
             n += int(keys.size)
         state.update((sk.to_bytes(),))
-        if retention is not None:
+        if evict_after_ms is not None:
+            # event-time eviction: state dies once the WATERMARK (not the
+            # wall clock) passes this window's end + the lateness allowance
+            # — no late row can touch it after that, by the watermark
+            # contract. Guard > current watermark (Spark requires it; an
+            # equal value can occur when the closing batch's rows sit
+            # exactly at the window edge).
+            target = int(key[1]) * 1000 + evict_after_ms
+            state.setTimeoutTimestamp(
+                max(target, state.getCurrentWatermarkMs() + 1))
+        elif retention is not None:
             state.setTimeoutDuration(retention)
         yield pd.DataFrame([{
             "group": key[0],
@@ -108,7 +139,8 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
                            group_col: str, kind: str = "hll",
                            params: dict | None = None, ts_col: str = "ts",
                            window: str = "1 hour",
-                           retention: str | int | None = None) -> DataFrame:
+                           retention: str | int | None = None,
+                           watermark: str | None = None) -> DataFrame:
     """Generic keyed-sketch streaming window: any mergeable keyed sketch
     (``hll`` | ``cms`` | ``bloom`` | ``mg``) folded per (group, event-time
     window) micro-batch by micro-batch. The ``distinct_est`` output column
@@ -118,21 +150,52 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
     the full running state rides the state store as the
     sketch's canonical bytes, so a snapshot at any micro-batch equals a
     batch build over the same prefix of the stream (merge-law invariance).
+
+    Late-data policy — two mutually exclusive retention modes:
+
+    * ``retention`` (processing-time TTL): entries idle longer than the
+      TTL are evicted; any late row is still folded if it arrives before
+      eviction. Simple, but eviction depends on the wall clock, not the
+      data.
+    * ``watermark`` (event-time, production semantics): sets
+      ``withWatermark(ts_col, watermark)`` and event-time timeouts. Rows
+      later than the watermark are DROPPED before the state function (so a
+      straggler cannot resurrect or skew a closed window), and each
+      (group, window) entry is evicted once the watermark passes
+      window end + the lateness allowance — state size tracks the number
+      of windows still inside the lateness horizon, independent of
+      processing speed.
     """
     params = dict(params or {})
+    if retention is not None and watermark is not None:
+        raise ValueError("pass either retention (processing-time TTL) or "
+                         "watermark (event-time), not both")
+    src = stream_df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
     # NULL keys carry no membership/count information and a null-bearing
     # long batch reaches pandas as float64, corrupting 64-bit keys —
     # filter them stream-side (matches SQL aggregate null semantics)
-    bucketed = stream_df.where(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("key"),
-        F.col(group_col).cast("string").alias("group"),
-        F.unix_timestamp(F.window(F.col(ts_col), window).start)
-        .alias("window_start"))
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if retention is not None else GroupStateTimeout.NoTimeout)
+    cols = [F.col(key_col).alias("key"),
+            F.col(group_col).cast("string").alias("group"),
+            F.unix_timestamp(F.window(F.col(ts_col), window).start)
+            .alias("window_start")]
+    if watermark is not None:
+        # the event-time attribute must reach the stateful operator's input
+        # for Spark to drop late rows against the watermark; fold() only
+        # reads pdf["key"], so the extra column is inert data
+        cols.append(F.col(ts_col))
+    bucketed = src.where(F.col(key_col).isNotNull()).select(*cols)
+    if watermark is not None:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        evict_after_ms = _interval_ms(window) + _interval_ms(watermark)
+    else:
+        timeout = (GroupStateTimeout.ProcessingTimeTimeout
+                   if retention is not None else GroupStateTimeout.NoTimeout)
+        evict_after_ms = None
     return (bucketed.groupBy("group", "window_start")
             .applyInPandasWithState(
-                _make_fold_fn(kind, params, retention), _OUT_SCHEMA,
-                _STATE_SCHEMA,
+                _make_fold_fn(kind, params, retention, evict_after_ms),
+                _OUT_SCHEMA, _STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout))
