@@ -295,10 +295,20 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
     and the staged probe so the layout and the empty-input handling can
     never drift apart."""
     spark = keys_df.sparkSession
+    # write parallelism: repartitioning to exactly n_shards caps the
+    # parquet-encode stage at n_shards tasks (16 writers on a 32-core
+    # box, and far below executor count on a real cluster). Salting the
+    # shuffle key with pmod(key, salt) keeps the partitionBy layout but
+    # gives every core a writer; file count stays = n_write_tasks
+    # (each task holds exactly one (shard, salt) combo), so the object
+    # store sees O(cores) files, not O(input_partitions x n_shards).
+    n_write = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    salt = max(1, n_write // n_shards)
     (keys_df.select(F.col(key_col).alias("key"))
      .where(F.col(key_col).isNotNull())
      .withColumn("shard_id", shard_id_col("key", n_shards))
-     .repartition(n_shards, "shard_id")
+     .repartition(n_shards * salt, "shard_id",
+                  F.pmod(F.col("key"), F.lit(salt)))
      .write.mode("overwrite").partitionBy("shard_id").parquet(stage_dir))
     try:
         return [int(r.shard_id) for r in

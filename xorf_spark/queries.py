@@ -42,10 +42,17 @@ def ensure_fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
     runs on one task; at real scale the input is already wide and the
     (full-corpus!) shuffle must not happen, hence the guard. Hash-keyed
     repartition, not round-robin: round-robin output is
-    placement-nondeterministic under task retries."""
+    placement-nondeterministic under task retries.
+
+    The partition count is EXPLICIT: AQE coalesces a count-less
+    ``repartition(col)`` back down to one partition because the
+    pre-explode bytes look tiny — it cannot know the next operator fans
+    every row out 1000x. An explicit count is exempt from AQE
+    coalescing."""
     spark = df.sparkSession
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        return df.repartition(F.col(key))
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(2 * cores, F.col(key))
     return df
 
 
