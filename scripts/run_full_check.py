@@ -37,7 +37,7 @@ def main():
     with open(tmp) as fh:
         for line in fh:
             rec = json.loads(line)
-            per_scale[rec["sf_dir"]] = rec["results"]
+            per_scale.setdefault(rec["sf_dir"], {}).update(rec["results"])
     os.unlink(tmp)
     names = sorted({n for res in per_scale.values() for n in res})
     summary = {

@@ -75,21 +75,30 @@ def _md5long_sql(expr: str) -> str:
 #: (kind, expansion factor) — the deprecated fuse family needs ≥~150k keys to
 #: peel (the reference's own test_fail_construction expects failure at 1k,
 #: src/fuse8.rs:177-184), so its key set is expanded deterministically.
-_VARIANT_FAMILIES = [("xor", ["xor8", "xor16", "xor32"], 1),
-                     ("bfuse", ["bfuse8", "bfuse16", "bfuse32"], 1),
-                     ("fuse", ["fuse8", "fuse16", "fuse32"], 8)]
+_VARIANT_FAMILIES = [("xor", ["xor8", "xor16", "xor32"], 0),
+                     ("bfuse", ["bfuse8", "bfuse16", "bfuse32"], 0),
+                     ("fuse", ["fuse8", "fuse16", "fuse32"], 300_000)]
 
 
-def _family_zero_fn_query(kinds: list[str], expand: int):
+def _family_zero_fn_query(kinds: list[str], min_keys: int):
     """One driver-gate row per filter WIDTH of a family (folded from the
     former per-variant queries so the whole registry fits the driver's
     ~50-query window): build every width over the same key set, probe
     all inserted keys, and report (kind, n_rows, n_true) — zero false
-    negatives means n_true == n_rows on every row."""
+    negatives means n_true == n_rows on every row.
+
+    ``min_keys``: the deprecated fuse family cannot peel below ~150k keys
+    (the reference's own test_fail_construction expects failure at 1k,
+    src/fuse8.rs:177-184), so its key set is expanded to ≥ ``min_keys``
+    with a DATA-DERIVED factor — ``greatest(8, ceil(min_keys/rows))`` —
+    computed identically in the oracle SQL, keeping the query green at
+    every scale factor."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load(spark, sf_dir, "lineitem")
         base = li.select("l_orderkey", "l_linenumber")
-        if expand > 1:
+        if min_keys:
+            n_base = base.count()
+            expand = max(8, -(-min_keys // n_base))
             base = base.select(
                 "*", F.explode(F.expr(f"sequence(1, {expand})")).alias("i"))
         else:
@@ -112,11 +121,14 @@ def _family_zero_fn_query(kinds: list[str], expand: int):
             out, "kind string, n_rows bigint, n_true bigint")
 
     values = ", ".join(f"('{k}')" for k in kinds)
-    oracle = (f"SELECT t.kind, "
-              f"CAST((SELECT count(*) FROM lineitem) * {expand} AS BIGINT) "
-              f"AS n_rows, "
-              f"CAST((SELECT count(*) FROM lineitem) * {expand} AS BIGINT) "
-              f"AS n_true FROM (VALUES {values}) AS t(kind)")
+    if min_keys:
+        n_sql = (f"(SELECT count(*) * greatest(8, CAST(ceil("
+                 f"{min_keys}.0 / count(*)) AS BIGINT)) FROM lineitem)")
+    else:
+        n_sql = "(SELECT count(*) FROM lineitem)"
+    oracle = (f"SELECT t.kind, CAST({n_sql} AS BIGINT) AS n_rows, "
+              f"CAST({n_sql} AS BIGINT) AS n_true "
+              f"FROM (VALUES {values}) AS t(kind)")
     return q, oracle
 
 
