@@ -323,26 +323,33 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
         return []
 
 
-def _stage_shard_files(stage_dir: str, sid: int):
-    """List one staged shard's parquet files filesystem-agnostically:
-    ``pyarrow.fs.FileSystem.from_uri`` resolves plain local paths AND
-    object-store URIs (s3://, hdfs://, gs://), so the staged build/probe
-    workers genuinely run against shared object storage on a multi-node
-    cluster — raw ``glob.glob`` only ever worked on a shared POSIX mount.
+def _make_stage_lister():
+    """Factory for the worker-side shard-file lister. Returned as a NESTED
+    function so cloudpickle serializes it BY VALUE into the worker closure
+    — the staged build/probe workers stay self-contained and do not
+    require xorf_spark on executor PYTHONPATH (a module-level helper would
+    pickle by reference and break driver-only deployments).
+
+    The lister resolves paths with ``pyarrow.fs.FileSystem.from_uri``,
+    which handles plain local paths AND object-store URIs (s3://, hdfs://,
+    gs://) — raw ``glob.glob`` only ever worked on a shared POSIX mount.
     Returns ``(paths, filesystem)`` for ``pq.read_table(...,
-    filesystem=...)``; raises loudly if the shard directory is missing
+    filesystem=...)``; raises loudly if the shard directory is empty
     (a listed shard id with no files would otherwise silently probe
     False-for-everything)."""
-    from pyarrow import fs as _pafs
+    def list_shard_files(stage_dir: str, sid: int):
+        from pyarrow import fs as _pafs
 
-    fsys, base = _pafs.FileSystem.from_uri(stage_dir)
-    sel = _pafs.FileSelector(f"{base.rstrip('/')}/shard_id={sid}")
-    paths = sorted(f.path for f in fsys.get_file_info(sel)
-                   if f.is_file and f.path.endswith(".parquet"))
-    if not paths:
-        raise FileNotFoundError(
-            f"staged shard {sid} has no parquet files under {stage_dir}")
-    return paths, fsys
+        fsys, base = _pafs.FileSystem.from_uri(stage_dir)
+        sel = _pafs.FileSelector(f"{base.rstrip('/')}/shard_id={sid}")
+        paths = sorted(f.path for f in fsys.get_file_info(sel)
+                       if f.is_file and f.path.endswith(".parquet"))
+        if not paths:
+            raise FileNotFoundError(
+                f"staged shard {sid} has no parquet files under {stage_dir}")
+        return paths, fsys
+
+    return list_shard_files
 
 
 def _shard_tasks(spark: SparkSession, shard_ids: list[int]) -> DataFrame:
@@ -384,13 +391,15 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
         return spark.createDataFrame([], SHARD_SCHEMA)
     tasks = _shard_tasks(spark, shard_ids)
 
+    _list_shard_files = _make_stage_lister()
+
     def build_from_files(batches):
         import pyarrow.parquet as _pq
 
         for pdf in batches:
             for sid in pdf["shard_id"]:
                 sid = int(sid)
-                files, fsys = _stage_shard_files(stage_dir, sid)
+                files, fsys = _list_shard_files(stage_dir, sid)
                 tbl = _pq.read_table(files, columns=["key"],
                                      filesystem=fsys)
                 arr = (tbl.column("key").combine_chunks().drop_null()
@@ -911,6 +920,8 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
         return spark.createDataFrame([], out_schema)
     tasks = _shard_tasks(spark, shard_ids)
 
+    _list_shard_files = _make_stage_lister()
+
     def probe_from_files(batches):
         import os as _os
 
@@ -921,7 +932,7 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
         for pdf in batches:
             for sid in pdf["shard_id"]:
                 sid = int(sid)
-                files, fsys = _stage_shard_files(stage_dir, sid)
+                files, fsys = _list_shard_files(stage_dir, sid)
                 tbl = _pq.read_table(files, columns=["key"],
                                      filesystem=fsys)
                 arr = tbl.column("key").combine_chunks().to_numpy(
