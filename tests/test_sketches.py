@@ -778,3 +778,14 @@ def test_streaming_watermark_and_retention_exclusive(spark):
             .selectExpr("value as key", "'g' as grp", "timestamp as ts"),
             "key", "grp", "hll", {"p": 12},
             retention="1 hour", watermark="10 minutes")
+
+
+def test_hll_shingle_distinct_query(spark):
+    """q_hll_shingle_distinct left the gate registry in round 3 (duplicate
+    HLL law); keep its query-level behavior pinned here: the HLL estimate
+    over derived shingle keys sits within bound of the exact distinct."""
+    from xorf_spark.sketch_queries import q_hll_shingle_distinct
+
+    row = q_hll_shingle_distinct(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.within_bound
+    assert row.n_distinct_shingles > 0
