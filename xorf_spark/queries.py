@@ -48,7 +48,15 @@ def ensure_fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
     ``repartition(col)`` back down to one partition because the
     pre-explode bytes look tiny — it cannot know the next operator fans
     every row out 1000x. An explicit count is exempt from AQE
-    coalescing."""
+    coalescing.
+
+    Use it ONLY when the fan-out feeds heavy MAP-SIDE work (the ngram
+    pipeline's partial aggregation over 54M shingles). When the first
+    post-explode operator is itself a shuffle (tf-idf's (doc,term)
+    count, decontamination's shard repartition), the shuffle already
+    rebalances and the extra exchange is a pure regression (A/B at
+    sf0.1: tfidf 1.2s->1.9s, curation 4.7s->6.5s with fanout, vs ngram
+    4.9s->2.8s without->with)."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
@@ -1061,7 +1069,7 @@ def q_curation_pipeline(spark, sf_dir):
     from .operators.dedup import exact_dedup
     from .operators.packing import pack_sequences
 
-    docs = ensure_fanout(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
     quality = docs.where((F.size(words) >= 30)
@@ -1213,7 +1221,7 @@ def q_decontaminate(spark, sf_dir):
     oracle's string-level shingle join."""
     from .operators.decontam import decontaminate
 
-    docs = ensure_fanout(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     ev = docs.where(F.col("doc_id") % 10 == 0)
     return (decontaminate(train, ev, n=8, kind="bfuse16")
@@ -1249,7 +1257,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     (operators/text.py::tf_idf_terms)."""
     from .operators.text import tf_idf_terms
 
-    docs = ensure_fanout(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     return (tf_idf_terms(docs, "text", "doc_id", k_top=3)
             .orderBy("doc_id", "rank"))
 
@@ -1349,7 +1357,7 @@ def q_pack_sequences(spark, sf_dir):
     global window cumsum."""
     from .operators.packing import pack_sequences
 
-    docs = ensure_fanout(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     docs = docs.withColumn("n_tok", F.size(F.split("text", " ")))
     return (pack_sequences(docs, 512, "doc_id", "n_tok", salt="pack")
             .select("doc_id", F.col("n_tok").cast("int").alias("n_tok"),
