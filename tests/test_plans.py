@@ -1,5 +1,7 @@
 """Plan-shape regression tests: the properties that matter at 100 TB."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -229,3 +231,20 @@ def test_sql_registered_udf_null_safe(spark):
         assert (r["m"] is None) == (r["key"] is None)
         if r["key"] is not None:
             assert r["m"] is True
+
+
+def test_ngram_edges_plan_fanout_and_broadcast_cap(spark):
+    """Scale guards for the ngram Jaccard pipeline, pinned at plan level:
+    the pre-explode fan-out repartition survives (AQE coalesced a
+    count-less repartition back to one task in round 3) and the
+    hot-shingle cap is applied via a BROADCAST anti-join, not a shuffled
+    one."""
+    from xorf_spark.queries import _ngram_jaccard_edges
+
+    df = _ngram_jaccard_edges(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    # the explicit-count repartition on doc_id before the shingle explode
+    # (formatted mode puts Exchange arguments on their own detail line)
+    assert re.search(r"hashpartitioning\(doc_id", plan), plan[:2000]
+
