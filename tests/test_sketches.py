@@ -789,3 +789,33 @@ def test_hll_shingle_distinct_query(spark):
     row = q_hll_shingle_distinct(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.within_bound
     assert row.n_distinct_shingles > 0
+
+
+def test_sketch_agg_staged_matches_one_shot(spark, keyed_df, tmp_path):
+    """Staged sketch aggregation (parquet spill + file-reading python
+    tasks, no Arrow feed) must produce byte-identical state to the
+    one-shot path for keyed sketches (merge law), handle nulls the same,
+    and keep valued sketches inside their published bounds."""
+    from xorf_spark.sketches import sketch_agg, sketch_agg_staged
+
+    with_nulls = keyed_df.select(
+        F.when(F.col("key") % 13 == 0, None).otherwise(F.col("key"))
+        .alias("key"), "v")
+    for kind, params in (("hll", {"p": 12}),
+                         ("cms", {"width": 2048, "depth": 4}),
+                         ("bloom", {"n_bits": 1 << 20, "k": 7})):
+        one = sketch_agg(with_nulls, "key", kind, params)
+        staged = sketch_agg_staged(
+            with_nulls, "key", kind, str(tmp_path / f"st_{kind}"), params)
+        assert staged.to_bytes() == one.to_bytes(), kind
+
+    td = sketch_agg_staged(keyed_df, "v", "tdigest",
+                           str(tmp_path / "st_td"), {"delta": 300})
+    # v uniform on [0, 997): rank of the median must be ~0.5
+    assert abs(td.cdf(np.array([498.5]))[0] - 0.5) < 0.01
+
+    # empty input → empty sketch, not a crash
+    empty = sketch_agg_staged(
+        keyed_df.where(F.lit(False)), "key", "hll",
+        str(tmp_path / "st_empty"), {"p": 12})
+    assert empty.estimate() == 0.0

@@ -12,6 +12,7 @@ from .dataflow import (
     mg_estimate_udf,
     partial_sketches,
     sketch_agg,
+    sketch_agg_staged,
     sketch_from_table,
     tree_merge,
 )
@@ -32,7 +33,7 @@ __all__ = [
     "Bloom", "CountMin", "HyperLogLog", "KLL", "TDigest", "MisraGries",
     "KEYED_KINDS", "SKETCH_KINDS", "PARTIAL_SCHEMA",
     "make_sketch", "sketch_from_bytes",
-    "partial_sketches", "tree_merge", "sketch_agg", "grouped_sketch",
+    "partial_sketches", "tree_merge", "sketch_agg", "sketch_agg_staged", "grouped_sketch",
     "build_sketch_table", "sketch_from_table",
     "cms_estimate_udf", "bloom_contains_udf", "tdigest_cdf_udf",
     "mg_estimate_udf",
