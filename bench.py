@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -84,6 +86,20 @@ def main() -> None:
     timings["sketch_hll"] = round(secs, 3)
     hll_rate = n_keys / secs
 
+    # staged twin (parquet spill + file-reading python tasks — no Arrow
+    # feed of the raw column; byte-identical state by the merge law)
+    def hll_staged():
+        d = tempfile.mkdtemp(prefix="xorf_skhll_stage_")
+        try:
+            return S.sketch_agg_staged(keys, "key", "hll", d,
+                                       {"p": 14}).estimate()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    secs, _ = best_of(hll_staged)
+    timings["sketch_hll_staged"] = round(secs, 3)
+    hll_staged_rate = n_keys / secs
+
     vals = spark.range(n_keys // 4).select(
         (F.col("id") % 1_000_000).cast("double").alias("v"))
     secs, _ = best_of(
@@ -139,8 +155,6 @@ def main() -> None:
     # staged build: JVM shuffle → parquet stage, then a shuffle-free python
     # stage reading its own shard files (decouples the Arrow feed; at
     # cluster scale the materialization barrier also buys elastic retry)
-    import tempfile
-
     stage_dir = tempfile.mkdtemp(prefix="xorf_stage_")
     secs, staged_keys = best_of(
         lambda: D.build_filter_df_staged(keys, stage_dir, kind="bfuse8",
@@ -219,6 +233,7 @@ def main() -> None:
             "token_pipeline_shingle_keys_per_sec": round(shingle_rate),
             "token_pipeline_distinct_shingles": int(shingle_keys_built),
             "hll_agg_keys_per_sec": round(hll_rate),
+            "hll_agg_staged_keys_per_sec": round(hll_staged_rate),
             "tdigest_agg_values_per_sec": round(tdigest_rate),
         },
     }))
