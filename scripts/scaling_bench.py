@@ -65,6 +65,19 @@ from xorf_spark import sketches as S
 if want("sketch_hll"):
     out["sketch_hll_secs"] = best_of(
         lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
+if want("sketch_hll_staged"):
+    import shutil as _shu
+    import tempfile as _tmp
+
+    def _hll_staged():
+        d = _tmp.mkdtemp(prefix=f"xorf_skst_{cpus}_")
+        try:
+            return S.sketch_agg_staged(keys, "key", "hll", d,
+                                       {"p": 14}).estimate()
+        finally:
+            _shu.rmtree(d, ignore_errors=True)
+
+    out["sketch_hll_staged_secs"] = best_of(_hll_staged)
 vals = spark.range(n_keys // 4).select(
     (F.col("id") % 1_000_000).cast("double").alias("v"))
 if want("sketch_tdigest"):
