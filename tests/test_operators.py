@@ -990,3 +990,48 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and a sufficient budget still converges to one component
     labels = connected_components(chain, max_iter=30).collect()
     assert {r.component for r in labels} == {0}
+
+
+def test_streaming_dedup_event_time_horizon(spark, tmp_path):
+    """Event-time mode of stream_exact_dedup: late rows (behind the
+    watermark) are dropped, and a key reappearing after `horizon` of
+    EVENT time — once the watermark evicted its bucket — is emitted
+    again. Batches are fed incrementally so the watermark advances
+    deterministically."""
+    from pyspark.sql import functions as F
+    from xorf_spark.streaming.stateful_dedup import stream_exact_dedup
+
+    src = str(tmp_path / "wm_dedup_in")
+
+    def batch(name, lo, hi, ts):
+        (spark.range(lo, hi).select(
+            F.col("id").alias("key"),
+            F.to_timestamp(F.lit(ts)).alias("ts"))
+         .write.parquet(f"{src}/{name}"))
+
+    batch("b1", 0, 100, "2026-01-01 00:10:00")
+    stream = spark.readStream.schema("key long, ts timestamp").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    out = stream_exact_dedup(stream, "key", n_buckets=4,
+                             watermark="30 minutes", horizon="1 hour")
+    q = (out.writeStream.format("memory").queryName("wm_dedup")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # advance watermark to 02:30 — past every b1 bucket's
+    # newest-event (00:10) + horizon (1h) eviction point
+    batch("b2", 10_000, 10_010, "2026-01-01 03:00:00")
+    q.processAllAvailable()
+    # same keys reappear AFTER the horizon, on time → emitted again
+    batch("b3", 0, 100, "2026-01-01 03:05:00")
+    q.processAllAvailable()
+    # straggler behind the watermark with NEW keys → dropped entirely
+    batch("b4", 20_000, 20_050, "2026-01-01 01:00:00")
+    q.processAllAvailable()
+    q.stop()
+
+    keys = [r["key"] for r in spark.sql("select key from wm_dedup").collect()]
+    from collections import Counter
+    c = Counter(keys)
+    assert all(c[k] == 2 for k in range(100)), c.most_common(3)
+    assert all(c[k] == 1 for k in range(10_000, 10_010))
+    assert not any(20_000 <= k < 20_050 for k in keys)  # late rows dropped

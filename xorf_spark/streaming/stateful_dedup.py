@@ -36,18 +36,36 @@ _OUT_SCHEMA = StructType([
 ])
 
 
-def _make_dedup_fn(retention):
+def _make_dedup_fn(retention, horizon_ms: int | None = None):
     def dedup(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
               ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
+        event_time = horizon_ms is not None
         if state.exists:
             (blob,) = state.get
-            seen = np.frombuffer(blob, dtype=np.int64) if blob else \
+            arr = np.frombuffer(blob, dtype=np.int64) if blob else \
                 np.empty(0, dtype=np.int64)
         else:
-            seen = np.empty(0, dtype=np.int64)
+            arr = np.empty(0, dtype=np.int64)
+        if event_time:
+            # blob layout: [n keys][n first-seen-ts-ms], halves aligned
+            half = arr.size // 2
+            seen, seen_ts = arr[:half], arr[half:]
+            # in-function expiry against the WATERMARK: a group that
+            # receives data never gets the hasTimedOut call (timeouts fire
+            # only for data-less groups), so forgetting must happen here —
+            # a key is remembered until the watermark passes its
+            # first-seen event time + horizon (the
+            # dropDuplicatesWithinWatermark contract)
+            wm = state.getCurrentWatermarkMs()
+            live = seen_ts + horizon_ms > wm
+            expired_any = not bool(live.all())
+            seen, seen_ts = seen[live], seen_ts[live]
+        else:
+            seen, seen_ts = arr, None
+            expired_any = False
         out = []
         any_fresh = False
         for pdf in pdfs:
@@ -63,11 +81,28 @@ def _make_dedup_fn(retention):
                     "bucket": np.full(fresh.size, key[0], dtype=np.int64),
                 }))
                 seen = np.concatenate([seen, fresh])
-        # only rewrite the blob when the batch actually added keys — an
+                if event_time:
+                    ts = (pd.to_datetime(pdf["ts"]).astype(np.int64)
+                          // 1_000_000).to_numpy()
+                    seen_ts = np.concatenate(
+                        [seen_ts, ts[first_idx[fresh_mask]]])
+        # only rewrite the blob when the batch changed it — an
         # all-duplicate micro-batch must not pay O(|state|) store I/O
-        if any_fresh or not state.exists:
-            state.update((np.sort(seen).tobytes(),))
-        if retention is not None:
+        if any_fresh or expired_any or not state.exists:
+            if event_time:
+                order = np.argsort(seen, kind="stable")
+                state.update((np.concatenate(
+                    [seen[order], seen_ts[order]]).tobytes(),))
+            else:
+                state.update((np.sort(seen).tobytes(),))
+        if event_time:
+            # idle-bucket cleanup: fires only when a batch brings this
+            # bucket no data AND the watermark passed its whole memory
+            wm = state.getCurrentWatermarkMs()
+            target = (int(seen_ts.max()) + horizon_ms) if seen_ts.size \
+                else wm + horizon_ms
+            state.setTimeoutTimestamp(max(target, wm + 1))
+        elif retention is not None:
             state.setTimeoutDuration(retention)
         if out:
             yield from out
@@ -77,7 +112,10 @@ def _make_dedup_fn(retention):
 
 def stream_exact_dedup(stream_df: DataFrame, key_col: str = "key",
                        n_buckets: int = 64,
-                       retention: str | int | None = None) -> DataFrame:
+                       retention: str | int | None = None,
+                       ts_col: str = "ts",
+                       watermark: str | None = None,
+                       horizon: str | None = None) -> DataFrame:
     """Emit each distinct key exactly once across the whole stream
     (first occurrence wins), spread over ``n_buckets`` state entries by
     uniform hash prefix.
@@ -93,21 +131,49 @@ def stream_exact_dedup(stream_df: DataFrame, key_col: str = "key",
     At cluster scale, run on a RocksDB state store
     (``spark.sql.streaming.stateStore.providerClass``) so state spills off
     heap.
+
+    Event-time mode (production semantics, mutually exclusive with
+    ``retention``): pass ``watermark`` (lateness allowance on ``ts_col``)
+    AND ``horizon`` (how long a key is remembered, in EVENT time). Rows
+    later than the watermark are dropped before the state function, and a
+    bucket's key set is evicted once the watermark passes its newest
+    event + horizon — so a key reappearing after ``horizon`` of event
+    time counts as new, and state size tracks the horizon, not the wall
+    clock (the dropDuplicatesWithinWatermark trade, with this operator's
+    packed-blob state and bucket sharding).
     """
+    if (watermark is None) != (horizon is None):
+        raise ValueError("event-time mode needs BOTH watermark and horizon")
+    if retention is not None and watermark is not None:
+        raise ValueError("pass either retention (processing-time TTL) or "
+                         "watermark+horizon (event-time), not both")
     p = n_buckets.bit_length() - 1
     if 1 << p != n_buckets:
         raise ValueError("n_buckets must be a power of two")
+    src = stream_df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
     # NULL keys are dropped stream-side: they identify nothing, and a
     # null-bearing long batch reaches pandas as float64, corrupting every
     # 64-bit key in it
-    bucketed = stream_df.where(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("key"),
-        F.shiftrightunsigned(F.col(key_col), 64 - p).cast("long")
-        .alias("bucket"))
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if retention is not None else GroupStateTimeout.NoTimeout)
+    cols = [F.col(key_col).alias("key"),
+            F.shiftrightunsigned(F.col(key_col), 64 - p).cast("long")
+            .alias("bucket")]
+    horizon_ms = None
+    if watermark is not None:
+        # the event-time attribute must reach the stateful operator's
+        # input for Spark's late-row filter to apply
+        cols.append(F.col(ts_col).alias("ts"))
+        from .sketch_window import _interval_ms
+        horizon_ms = _interval_ms(horizon)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = (GroupStateTimeout.ProcessingTimeTimeout
+                   if retention is not None else GroupStateTimeout.NoTimeout)
+    bucketed = src.where(F.col(key_col).isNotNull()).select(*cols)
     return (bucketed.groupBy("bucket")
             .applyInPandasWithState(
-                _make_dedup_fn(retention), _OUT_SCHEMA, _STATE_SCHEMA,
+                _make_dedup_fn(retention, horizon_ms), _OUT_SCHEMA,
+                _STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=timeout))
