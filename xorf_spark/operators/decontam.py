@@ -72,3 +72,31 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     marked = bad.withColumn("contaminated", F.lit(True))
     return (train.join(marked, id_col, "left")
             .fillna(False, subset=["contaminated"]))
+
+
+def contamination_report(train: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 8, kind: str = "bfuse16") -> DataFrame:
+    """Diagnostic twin of :func:`decontaminate`: one row per contaminated
+    (train doc, eval doc) pair with the number of shared n-shingles —
+    the evidence trail an eval-set audit needs, not just the drop list.
+
+    Scale shape: the filter pre-pass (``filter_semi_join``) kills
+    ~(1-FPP) of training shingles before any shuffle — only surviving
+    candidates join against the eval posting table, and eval sets are
+    tiny, so the pair join's build side broadcasts. Output columns:
+    ``train_<id_col>``, ``eval_<id_col>``, ``n_shared``."""
+    # n_shared counts DISTINCT shared shingles, not occurrences of a
+    # repeated 8-gram — the (doc, key) distinct runs AFTER the filter
+    # pre-pass, so the corpus-scale shuffle only sees surviving
+    # candidates, never the full training shingle stream
+    tsh = shingle_keys(train, text_col, id_col, n)
+    esh = shingle_keys(eval_df, text_col, id_col, n).distinct()
+    cand = filter_semi_join(tsh, esh.select("key").distinct(),
+                            "key", "key", kind=kind).distinct()
+    pairs = (cand.join(F.broadcast(esh.withColumnRenamed(
+                id_col, f"eval_{id_col}")), "key")
+             .groupBy(F.col(id_col).alias(f"train_{id_col}"),
+                      f"eval_{id_col}")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    return pairs

@@ -1248,6 +1248,43 @@ ORDER BY doc_id
 """
 
 
+def q_contamination_report(spark, sf_dir):
+    """Decontamination audit trail (operators/decontam.py::
+    contamination_report): one row per contaminated (train doc, eval doc)
+    pair with the count of DISTINCT shared 8-word shingles — the evidence
+    an eval-set audit needs, not just the drop list. Exact via the same
+    filter-pre-pass + exact-backstop cascade as q_decontaminate."""
+    from .operators.decontam import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return (contamination_report(train, ev, n=8, kind="bfuse16")
+            .select("train_doc_id", "eval_doc_id",
+                    F.col("n_shared").cast("long").alias("n_shared"))
+            .orderBy("train_doc_id", "eval_doc_id"))
+
+
+ORACLE_CONTAMINATION_REPORT = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+ev AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tsh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+       LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+esh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+       LATERAL unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+)
+SELECT tsh.doc_id AS train_doc_id, esh.doc_id AS eval_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM tsh JOIN esh USING (shingle)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 distinctive terms per document by tf-idf (tf · ln(N/df)),
     oracle-exact: the score rides as an integer micro-fixed-point column
@@ -1590,6 +1627,7 @@ _GATE_ORDER = [
     "xor16_semijoin_part",       # membership joins: bfuse8_semijoin
     "ivf_ann_exhaustive",        # ANN family: ann_cosine_topk/ann_ivf_recall
     "stratified_take",           # sampling: deterministic_sample
+    "contamination_report",      # decontam family: decontaminate
 ]
 
 
@@ -1627,6 +1665,8 @@ def registry() -> dict[str, tuple]:
         "range_partition": (q_range_partition, ORACLE_RANGE_PARTITION),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
         "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+        "contamination_report": (q_contamination_report,
+                                 ORACLE_CONTAMINATION_REPORT),
         "salted_skew_ops": (q_salted_skew_ops, ORACLE_SALTED_SKEW_OPS),
         "stratified_take": (q_stratified_take, ORACLE_STRATIFIED_TAKE),
         "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
