@@ -1035,3 +1035,23 @@ def test_streaming_dedup_event_time_horizon(spark, tmp_path):
     assert all(c[k] == 2 for k in range(100)), c.most_common(3)
     assert all(c[k] == 1 for k in range(10_000, 10_010))
     assert not any(20_000 <= k < 20_050 for k in keys)  # late rows dropped
+
+
+def test_contamination_report_planted_pairs(spark):
+    """Planted overlap: train doc 1 shares its full 8-gram with eval doc
+    100 (two distinct shingles via a 9-word overlap), train doc 2 is
+    clean. The report must list exactly the contaminated pair with the
+    right distinct-shingle count."""
+    from xorf_spark.operators.decontam import contamination_report
+
+    overlap = "a b c d e f g h i"          # 9 words -> two 8-gram shingles
+    train = spark.createDataFrame(
+        [(1, overlap + " tail1 tail2"),
+         (2, "totally unrelated words " * 5)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "prefix0 " + overlap)], "doc_id long, text string")
+    rows = contamination_report(train, ev, n=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.train_doc_id, r.eval_doc_id, r.n_shared) == (1, 100, 2)
