@@ -28,11 +28,13 @@ def main():
                                "/root/testdata/sf0.01"]
     tmp = tempfile.mktemp(suffix=".jsonl")
     per_scale = {}
+    rcs = {}
     for sf_dir in sf_dirs:
         env = dict(os.environ, CHECK_JSON=tmp)
         r = subprocess.run(
             [sys.executable, f"{REPO}/scripts/check_oracle.py", sf_dir],
             env=env, cwd=REPO)
+        rcs[sf_dir] = r.returncode
         print(f"{sf_dir}: rc={r.returncode}", flush=True)
     with open(tmp) as fh:
         for line in fh:
@@ -42,10 +44,16 @@ def main():
     names = sorted({n for res in per_scale.values() for n in res})
     summary = {
         "scales": sf_dirs,
+        "return_codes": rcs,
         "n_queries": len(names),
-        "all_pass": all(
-            res[n]["status"] in ("pass", "rows-only")
-            for res in per_scale.values() for n in res),
+        # a scale whose subprocess died before appending its CHECK_JSON
+        # line must NOT be silently dropped from the all-pass verdict:
+        # every requested scale has to be present with rc=0 AND all green
+        "all_pass": (
+            all(rc == 0 for rc in rcs.values())
+            and all(sf in per_scale for sf in sf_dirs)
+            and all(res[n]["status"] in ("pass", "rows-only")
+                    for res in per_scale.values() for n in res)),
         "n_rows_only": len({
             n for res in per_scale.values() for n in res
             if res[n]["status"] == "rows-only"}),

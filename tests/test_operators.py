@@ -1012,6 +1012,9 @@ def test_streaming_dedup_event_time_horizon(spark, tmp_path):
     batch("b1", 0, 100, "2026-01-01 00:10:00")
     stream = spark.readStream.schema("key long, ts timestamp").option(
         "maxFilesPerTrigger", "1").parquet(src + "/*")
+    # non-UTC session: first-seen timestamps must still be true UTC
+    # epoch ms (JVM-derived), or the horizon skews by the tz offset
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
     out = stream_exact_dedup(stream, "key", n_buckets=4,
                              watermark="30 minutes", horizon="1 hour")
     q = (out.writeStream.format("memory").queryName("wm_dedup")
@@ -1028,6 +1031,7 @@ def test_streaming_dedup_event_time_horizon(spark, tmp_path):
     batch("b4", 20_000, 20_050, "2026-01-01 01:00:00")
     q.processAllAvailable()
     q.stop()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     keys = [r["key"] for r in spark.sql("select key from wm_dedup").collect()]
     from collections import Counter

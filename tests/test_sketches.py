@@ -819,3 +819,20 @@ def test_sketch_agg_staged_matches_one_shot(spark, keyed_df, tmp_path):
         keyed_df.where(F.lit(False)), "key", "hll",
         str(tmp_path / "st_empty"), {"p": 12})
     assert empty.estimate() == 0.0
+
+
+def test_sketch_agg_staged_null_weights_match_one_shot(spark, tmp_path):
+    """Rows with NULL weights are dropped identically on both paths —
+    the staged path must not let a nullable weight column reach the
+    worker as float64-with-NaN."""
+    from xorf_spark.sketches import sketch_agg, sketch_agg_staged
+
+    df = (spark.range(50_000)
+          .select(F.xxhash64("id").alias("key"),
+                  F.when(F.col("id") % 7 == 0, None)
+                  .otherwise((F.col("id") % 5) + 1).alias("w")))
+    one = sketch_agg(df, "key", "cms", {"width": 1024, "depth": 3},
+                     weight_col="w")
+    staged = sketch_agg_staged(df, "key", "cms", str(tmp_path / "st_w"),
+                               {"width": 1024, "depth": 3}, weight_col="w")
+    assert staged.to_bytes() == one.to_bytes()

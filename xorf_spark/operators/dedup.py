@@ -180,6 +180,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     large-star/small-star dance for this workload. The loop stops as soon
     as an iteration changes no label.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 

@@ -46,10 +46,16 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     # Materialize the ranged partitioning ONCE before anything reads the
     # partition ids: the totals job and the final projection must both see
     # the same pid→rows mapping, and with AQE free to re-coalesce each
-    # independent execution, only a persisted frame pins it. The cached
-    # payload is just the input plus two small columns.
-    keyed = keyed.withColumn("__pid", F.spark_partition_id()).persist()
-    keyed.count()
+    # independent execution, only a materialized frame pins it.
+    # localCheckpoint (eager) rather than persist(): the blocks are
+    # reclaimed by the ContextCleaner as soon as the returned frame is
+    # garbage-collected — a bare persist() with no unpersist path would
+    # pin one cached copy of the corpus per call for the session's
+    # lifetime. (localCheckpoint state dies with a lost executor; on a
+    # multi-hour cluster run, write the keyed frame to durable storage
+    # first and pack from that.)
+    keyed = keyed.withColumn("__pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=True)
 
     # parallel per-partition cumsum... (id tie-break for exact determinism
     # in the astronomically-unlikely event of a 60-bit key collision)

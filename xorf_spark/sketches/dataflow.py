@@ -211,6 +211,11 @@ def sketch_agg_staged(df: DataFrame, col: str, kind: str, stage_dir: str,
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("w"))
     proj = _drop_null_keys(df.select(*cols), "v", kind)
+    if weight_col is not None:
+        # match the one-shot path's per-batch drop_null(): a row with a
+        # NULL weight is dropped entirely (otherwise the worker would
+        # read w as float64-with-NaN and diverge from sketch_agg)
+        proj = proj.where(F.col("w").isNotNull())
     (proj.write.mode("overwrite")
      # uniform 64-bit keys are incompressible (see dataflow._stage_keys)
      .option("compression", "none")

@@ -82,8 +82,12 @@ def _make_dedup_fn(retention, horizon_ms: int | None = None):
                 }))
                 seen = np.concatenate([seen, fresh])
                 if event_time:
-                    ts = (pd.to_datetime(pdf["ts"]).astype(np.int64)
-                          // 1_000_000).to_numpy()
+                    # ts_ms is computed JVM-side (unix_millis) so it is
+                    # true UTC epoch ms regardless of the session
+                    # timezone — pandas-side datetime decoding would be
+                    # session-tz-naive and skew the horizon by the
+                    # offset vs getCurrentWatermarkMs (which is UTC)
+                    ts = pdf["ts_ms"].to_numpy(np.int64)
                     seen_ts = np.concatenate(
                         [seen_ts, ts[first_idx[fresh_mask]]])
         # only rewrite the blob when the batch changed it — an
@@ -162,8 +166,10 @@ def stream_exact_dedup(stream_df: DataFrame, key_col: str = "key",
     horizon_ms = None
     if watermark is not None:
         # the event-time attribute must reach the stateful operator's
-        # input for Spark's late-row filter to apply
+        # input for Spark's late-row filter to apply; ts_ms carries the
+        # UTC epoch millis alongside it (JVM-derived, timezone-proof)
         cols.append(F.col(ts_col).alias("ts"))
+        cols.append(F.unix_millis(F.col(ts_col)).alias("ts_ms"))
         from .sketch_window import _interval_ms
         horizon_ms = _interval_ms(horizon)
         timeout = GroupStateTimeout.EventTimeTimeout
