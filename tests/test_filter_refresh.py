@@ -1,0 +1,58 @@
+"""Streaming filter maintenance (foreachBatch rebuild + atomic pointer
+swap): the ever-seen-keys filter contract across micro-batches."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_stream_filter_refresh_zero_fn_and_versions(spark, tmp_path):
+    from xorf_spark.streaming import (
+        latest_version,
+        load_latest_filter_table,
+        stream_filter_refresh,
+    )
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "ftab")
+
+    def feed(name, lo, hi):
+        (spark.range(lo, hi).select(F.xxhash64("id").alias("key"))
+         .write.parquet(f"{src}/{name}"))
+
+    feed("b1", 0, 30_000)
+    stream = spark.readStream.schema("key long").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = (stream_filter_refresh(stream, table, n_shards=4,
+                               refresh_every=1)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    v1 = latest_version(table)
+    assert v1 is not None
+    t1 = load_latest_filter_table(spark, table, n_shards=4)
+    all_b1 = spark.range(30_000).select(F.xxhash64("id").alias("key"))
+    assert t1.where_member(all_b1, "key").count() == 30_000  # zero FN
+
+    # batch 2 overlaps batch 1; the refreshed filter covers the union
+    feed("b2", 20_000, 60_000)
+    q.processAllAvailable()
+    q.stop()
+    v2 = latest_version(table)
+    assert v2 is not None and v2 != v1
+    t2 = load_latest_filter_table(spark, table, n_shards=4)
+    union = spark.range(60_000).select(F.xxhash64("id").alias("key"))
+    assert t2.where_member(union, "key").count() == 60_000  # zero FN
+    # disjoint probes mostly rejected (filter, not a sieve)
+    alien = spark.range(10_000).select(
+        F.xxhash64(F.col("id") + 5_000_000).alias("key"))
+    fp = t2.where_member(alien, "key").count()
+    assert fp < 10_000 * 0.02
+
+    # version pruning: at most keep_versions (default 2) version dirs
+    vdirs = [d for d in os.listdir(table) if d.startswith("v")]
+    assert len(vdirs) <= 2

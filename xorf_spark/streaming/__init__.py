@@ -1,5 +1,11 @@
+from .filter_refresh import (  # noqa: F401
+    latest_version,
+    load_latest_filter_table,
+    stream_filter_refresh,
+)
 from .membership import stream_dedup_filter, stream_membership  # noqa: F401
 from .sketch_window import (  # noqa: F401
     stream_windowed_hll,
     stream_windowed_sketch,
 )
+from .stateful_dedup import stream_exact_dedup  # noqa: F401
