@@ -36,11 +36,17 @@ def main():
             env=env, cwd=REPO)
         rcs[sf_dir] = r.returncode
         print(f"{sf_dir}: rc={r.returncode}", flush=True)
-    with open(tmp) as fh:
-        for line in fh:
-            rec = json.loads(line)
-            per_scale.setdefault(rec["sf_dir"], {}).update(rec["results"])
-    os.unlink(tmp)
+    # a subprocess that died before its first CHECK_JSON append leaves no
+    # file at all — still emit the artifact with the recorded return
+    # codes so the failure is visible, instead of crashing and leaving a
+    # stale prior CHECK.json in place
+    if os.path.exists(tmp):
+        with open(tmp) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                per_scale.setdefault(rec["sf_dir"], {}).update(
+                    rec["results"])
+        os.unlink(tmp)
     names = sorted({n for res in per_scale.values() for n in res})
     summary = {
         "scales": sf_dirs,

@@ -56,3 +56,35 @@ def test_stream_filter_refresh_zero_fn_and_versions(spark, tmp_path):
     # version pruning: at most keep_versions (default 2) version dirs
     vdirs = [d for d in os.listdir(table) if d.startswith("v")]
     assert len(vdirs) <= 2
+
+
+def test_stream_filter_refresh_staged_spill_cleaned(spark, tmp_path):
+    """With stage_dir set, the per-version staging spill is deleted after
+    each rebuild — a long-running stream must not accumulate
+    one-whole-corpus-per-refresh of spill."""
+    from xorf_spark.streaming import (
+        latest_version,
+        load_latest_filter_table,
+        stream_filter_refresh,
+    )
+
+    src = str(tmp_path / "in2")
+    table = str(tmp_path / "ftab2")
+    spill = str(tmp_path / "spill")
+    (spark.range(20_000).select(F.xxhash64("id").alias("key"))
+     .write.parquet(f"{src}/b1"))
+    stream = spark.readStream.schema("key long").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = (stream_filter_refresh(stream, table, n_shards=4,
+                               refresh_every=1, stage_dir=spill)
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    assert latest_version(table) is not None
+    t = load_latest_filter_table(spark, table, n_shards=4)
+    probes = spark.range(20_000).select(F.xxhash64("id").alias("key"))
+    assert t.where_member(probes, "key").count() == 20_000
+    leftover = [d for d in (os.listdir(spill) if os.path.isdir(spill)
+                            else [])]
+    assert not leftover, leftover

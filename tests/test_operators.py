@@ -1013,25 +1013,29 @@ def test_streaming_dedup_event_time_horizon(spark, tmp_path):
     stream = spark.readStream.schema("key long, ts timestamp").option(
         "maxFilesPerTrigger", "1").parquet(src + "/*")
     # non-UTC session: first-seen timestamps must still be true UTC
-    # epoch ms (JVM-derived), or the horizon skews by the tz offset
+    # epoch ms (JVM-derived), or the horizon skews by the tz offset;
+    # try/finally so a failure cannot leak the tz into the shared
+    # session fixture
     spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
-    out = stream_exact_dedup(stream, "key", n_buckets=4,
-                             watermark="30 minutes", horizon="1 hour")
-    q = (out.writeStream.format("memory").queryName("wm_dedup")
-         .outputMode("append").start())
-    q.processAllAvailable()
-    # advance watermark to 02:30 — past every b1 bucket's
-    # newest-event (00:10) + horizon (1h) eviction point
-    batch("b2", 10_000, 10_010, "2026-01-01 03:00:00")
-    q.processAllAvailable()
-    # same keys reappear AFTER the horizon, on time → emitted again
-    batch("b3", 0, 100, "2026-01-01 03:05:00")
-    q.processAllAvailable()
-    # straggler behind the watermark with NEW keys → dropped entirely
-    batch("b4", 20_000, 20_050, "2026-01-01 01:00:00")
-    q.processAllAvailable()
-    q.stop()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        out = stream_exact_dedup(stream, "key", n_buckets=4,
+                                 watermark="30 minutes", horizon="1 hour")
+        q = (out.writeStream.format("memory").queryName("wm_dedup")
+             .outputMode("append").start())
+        q.processAllAvailable()
+        # advance watermark to 02:30 — past every b1 bucket's
+        # newest-event (00:10) + horizon (1h) eviction point
+        batch("b2", 10_000, 10_010, "2026-01-01 03:00:00")
+        q.processAllAvailable()
+        # same keys reappear AFTER the horizon, on time → emitted again
+        batch("b3", 0, 100, "2026-01-01 03:05:00")
+        q.processAllAvailable()
+        # straggler behind the watermark with NEW keys → dropped entirely
+        batch("b4", 20_000, 20_050, "2026-01-01 01:00:00")
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     keys = [r["key"] for r in spark.sql("select key from wm_dedup").collect()]
     from collections import Counter

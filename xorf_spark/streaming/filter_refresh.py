@@ -14,17 +14,22 @@ Layout under ``table_path``::
 
 The swap is ATOMIC at the pointer level: a new version directory is fully
 written by the checkpoint-resumable builder before ``_LATEST`` is
-rewritten, so a reader loading via :func:`load_latest_filter_table`
-always sees a complete table — either the old or the new version, never
-a half-built one. Old versions are pruned after the pointer moves
-(keep the newest ``keep_versions``).
+rewritten (written to a temp name then renamed — a single rename on
+POSIX; on object stores the final PUT replaces the object atomically),
+so a reader loading via :func:`load_latest_filter_table` always sees a
+complete table — either the old or the new version, never a half-built
+or half-written one. Pruning keeps the version the pointer names plus
+its predecessor, never trusting version-number ordering (batch ids
+restart at 0 after a checkpoint reset).
 
-Scale notes: the key log is distinct-per-batch only (exact global
-distinct happens in the builder's single shuffle), appends are pure JVM
-parquet writes, and each rebuild is the staged production build when
-``stage_dir`` is passed. Rebuild cost grows with total distinct keys —
-choose ``refresh_every`` so rebuild time amortizes over the interval, or
-route keys through per-window filters if the universe is unbounded.
+Scale notes: the key log holds per-batch-distinct rows, so it grows with
+total delivered (not distinct) keys across batches; the rebuild runs one
+global ``distinct()`` so the FILTER is always sized by true distinct
+keys. For streams that re-deliver heavily, compact the log offline
+(rewrite ``keys/`` from any version's key set) — the immutable versions
+are never invalidated by log maintenance. Each rebuild is the staged
+production build when ``stage_dir`` is passed; its per-version spill is
+deleted after the build.
 """
 
 from __future__ import annotations
@@ -54,12 +59,13 @@ def _pointer_path(base: str) -> str:
 
 def latest_version(table_path: str) -> str | None:
     """Current version directory name (e.g. ``"v7"``), or None before the
-    first refresh."""
+    first refresh. Real I/O errors (auth, network) propagate — only
+    not-found means "no version yet"."""
     fsys, base = _fs(table_path)
     try:
         with fsys.open_input_stream(_pointer_path(base)) as fh:
             return fh.read().decode().strip() or None
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return None
 
 
@@ -78,17 +84,18 @@ def load_latest_filter_table(spark: SparkSession, table_path: str,
 def stream_filter_refresh(stream_df: DataFrame, table_path: str,
                           key_col: str = "key", kind: str = "bfuse8",
                           n_shards: int = 16, refresh_every: int = 1,
-                          stage_dir: str | None = None,
-                          keep_versions: int = 2):
+                          stage_dir: str | None = None):
     """``writeStream``-able sink maintaining the ever-seen-keys filter.
 
     Returns a ``DataStreamWriter`` (caller adds ``.option("checkpoint..")``
     / ``.start()``). Each micro-batch appends its distinct non-null keys
     to the key log; every ``refresh_every`` batches the whole log is
-    rebuilt into a fresh immutable version directory and ``_LATEST`` is
-    swapped. Query the current filter any time with
-    :func:`load_latest_filter_table` — zero false negatives over every
-    key delivered up to the last refresh (the filter contract).
+    globally de-duplicated and rebuilt into a fresh immutable version
+    directory, then ``_LATEST`` is swapped. Query the current filter any
+    time with :func:`load_latest_filter_table` — zero false negatives
+    over every key delivered up to the last refresh (the filter
+    contract). The current version and its predecessor are retained;
+    older version dirs (and the build's staging spill) are deleted.
     """
     keys_path = os.path.join(table_path, "keys")
 
@@ -103,31 +110,41 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
         if batch_id % refresh_every != refresh_every - 1:
             return
         version = f"v{batch_id}"
-        all_keys = spark.read.parquet(keys_path)
+        # global distinct: per-batch distinct still re-delivers keys
+        # across batches, and the builder sizes arrays by RAW row count —
+        # without this the filter would grow with total delivered keys
+        all_keys = spark.read.parquet(keys_path).distinct()
+        version_stage = (os.path.join(stage_dir, version)
+                         if stage_dir else None)
         build_filter_table(
             all_keys, os.path.join(table_path, version), kind=kind,
-            n_shards=n_shards, key_col="key",
-            stage_dir=(os.path.join(stage_dir, version)
-                       if stage_dir else None))
-        # pointer swap AFTER the version is fully committed: readers see
-        # old-or-new, never half-built. A whole-object overwrite of the
-        # tiny pointer is the atomic unit on both POSIX (single write)
-        # and object stores (PUT replaces atomically).
+            n_shards=n_shards, key_col="key", stage_dir=version_stage)
+        if version_stage is not None:
+            sfs, sbase = _fs(version_stage)
+            sfs.delete_dir(sbase)
+        # pointer swap AFTER the version is fully committed: write to a
+        # temp name, then rename over _LATEST — a single atomic rename on
+        # POSIX (open_output_stream on the final path would truncate
+        # in place, leaving a window where readers see an empty pointer);
+        # on object stores the copy's PUT replaces atomically.
+        prev = latest_version(table_path)
         fsys, base = _fs(table_path)
-        with fsys.open_output_stream(_pointer_path(base)) as fh:
+        tmp = _pointer_path(base) + f".tmp-{batch_id}"
+        with fsys.open_output_stream(tmp) as fh:
             fh.write(version.encode())
-        # prune superseded versions (pointer already moved)
+        fsys.move(tmp, _pointer_path(base))
+        # prune: keep the version the pointer NAMES plus its predecessor.
+        # Never trust version-number ordering — after a checkpoint reset
+        # batch ids restart at 0, and "keep the numerically largest"
+        # would delete the dir _LATEST was just pointed at.
         import re
 
         from pyarrow import fs as pafs
-        vs = sorted(
-            (info.base_name for info in fsys.get_file_info(
-                pafs.FileSelector(base))
-             if info.type == pafs.FileType.Directory
-             and re.fullmatch(r"v\d+", info.base_name)),
-            key=lambda d: int(d[1:]))
-        for stale in vs[:-keep_versions]:
-            fsys.delete_dir_contents(f"{base}/{stale}")
-            fsys.delete_dir(f"{base}/{stale}")
+        keep = {version, prev}
+        for info in fsys.get_file_info(pafs.FileSelector(base)):
+            name = info.base_name
+            if (info.type == pafs.FileType.Directory
+                    and re.fullmatch(r"v\d+", name) and name not in keep):
+                fsys.delete_dir(f"{base}/{name}")
 
     return stream_df.writeStream.foreachBatch(process).outputMode("update")
