@@ -88,3 +88,24 @@ def test_stream_filter_refresh_staged_spill_cleaned(spark, tmp_path):
     leftover = [d for d in (os.listdir(spill) if os.path.isdir(spill)
                             else [])]
     assert not leftover, leftover
+
+
+def test_latest_version_empty_and_interval_parse(tmp_path):
+    """Non-Spark helper edges: missing pointer -> None; interval parser
+    accepts the documented forms and rejects garbage loudly."""
+    from xorf_spark.streaming.filter_refresh import latest_version
+    from xorf_spark.streaming.sketch_window import _interval_ms
+
+    assert latest_version(str(tmp_path / "nonexistent")) is None
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "_LATEST").write_text("")
+    assert latest_version(str(tmp_path / "t")) is None  # empty pointer
+
+    assert _interval_ms("30 minutes") == 30 * 60_000
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("2 days") == 2 * 86_400_000
+    assert _interval_ms(1500) == 1500
+    with pytest.raises(ValueError):
+        _interval_ms("fortnight")
+    with pytest.raises(ValueError):
+        _interval_ms("3 fortnights")
