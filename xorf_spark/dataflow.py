@@ -440,7 +440,11 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
         try:
             done = spark.read.parquet(path).select("shard_id").distinct()
             done_ids = {r.shard_id for r in done.collect()}
-        except Exception:
+        except AnalysisException:
+            # only path-not-found means "no table yet"; a transient FS
+            # error must propagate (duplicate shard rows are benign here —
+            # probe loaders key by shard_id — but rebuilding every shard
+            # on a flaky listing is still wrong)
             done_ids = set()
 
     if n_shards is None:

@@ -34,6 +34,7 @@ from collections import OrderedDict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -430,7 +431,16 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
                        resume: bool = True) -> DataFrame:
     """Checkpoint-resumable sketch build: one partial per hash bucket,
     appended to a parquet lineage table ``(part_id, kind, payload, n_rows,
-    build_secs)``. Restarts skip committed buckets."""
+    build_secs)``. Restarts skip committed buckets.
+
+    The resume listing catches ONLY ``AnalysisException`` (path-not-found
+    = genuinely no table yet). A transient FS/auth error must propagate:
+    swallowing it would read as "no table", rebuild every bucket and
+    append duplicates — and while HLL/Bloom merges are idempotent, CMS /
+    MG / KLL / t-digest merges are ADDITIVE, so duplicated partials would
+    silently double their mass (the r3 verdict's double-count finding;
+    same class as the ``_stage_keys`` fix). ``sketch_from_table`` also
+    dedupes ``part_id`` on read as a belt-and-braces backstop."""
     params = dict(params or {})
     spark = df.sparkSession
     done: set[int] = set()
@@ -438,7 +448,7 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
         try:
             done = {r.part_id for r in spark.read.parquet(path)
                     .select("part_id").distinct().collect()}
-        except Exception:
+        except AnalysisException:
             done = set()
     bucketed = _drop_null_keys(
         df.select(F.col(col).alias(col)), col, kind).withColumn(
@@ -457,11 +467,21 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
 
 def sketch_from_table(spark: SparkSession, path: str):
     """Merge a persisted partial-sketch table into one sketch object
-    (deterministic part_id order)."""
+    (deterministic part_id order).
+
+    Keeps exactly ONE row per ``part_id``: bucket builds are deterministic
+    (input-sorted feed), so any duplicate rows a crashed-and-replayed
+    append left behind are byte-identical copies — merging them anyway
+    would double the mass of the additive sketches (CMS/MG/KLL/t-digest)
+    and break their published error laws."""
     rows = sorted(spark.read.parquet(path).collect(),
                   key=lambda r: r.part_id)
     sk = None
+    seen: set[int] = set()
     for r in rows:
+        if r.part_id in seen:
+            continue
+        seen.add(r.part_id)
         s = sketch_from_bytes(r.payload)
         sk = s if sk is None else sk.merge(s)
     return sk
