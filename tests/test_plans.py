@@ -161,6 +161,47 @@ def test_asof_join_single_window_no_range_join(spark, sf_dir):
         assert bad not in executed, bad
 
 
+def test_exact_dedup_partial_agg_no_window(spark, sf_dir):
+    """exact_dedup's skew contract (r3 verdict): duplicates must collapse
+    map-side. The plan must be a hash aggregate WITH a partial min_by
+    stage and NO window (row_number over a hash-partition has no partial
+    combine — one 10⁹-fold duplicated key = one straggler task)."""
+    from xorf_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs, "text", "doc_id")
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "partial_min_by" in final         # map-side combine present
+    assert final.count("Exchange") == 1      # one shuffle, of candidates only
+    # (Spark picks SortAggregate here — the min_by buffer holds a string
+    # struct, beyond HashAggregate's fixed-width buffers — but the sort is
+    # per-input-partition and uniformly parallel; the skew guarantee comes
+    # from the partial combine, not the aggregate's physical flavor.)
+
+
+def test_exact_dedup_planted_skew_correct(spark):
+    """A single key duplicated 200k× (vs 1k distinct) still dedups to the
+    min-id row — the planted-skew shape of the straggler scenario."""
+    from xorf_spark.operators.dedup import exact_dedup
+
+    skew = spark.range(200_000).select(
+        F.lit("hot doc").alias("text"),
+        (F.col("id") + 10).alias("doc_id"))
+    tail = spark.range(1_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.col("id").alias("doc_id"))
+    out = exact_dedup(skew.unionByName(tail), "text", "doc_id").cache()
+    try:
+        assert out.count() == 1_001
+        hot = out.where(F.col("text") == "hot doc").collect()
+        assert len(hot) == 1 and hot[0].doc_id == 10  # min id wins
+    finally:
+        out.unpersist()
+
+
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     """The 100 TB co-location story engine-side: two tables bucketed by the
     join key (saveAsTable + bucketBy) join with ZERO Exchange in the final

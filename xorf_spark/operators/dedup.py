@@ -6,7 +6,9 @@ shuffle); only the LSH bucket join and the verification join shuffle, and
 both shuffle on uniformly-hashed keys.
 
 Scale notes (100 TB):
-- exact_dedup shuffles one 8-byte hash per row (map-side partial agg);
+- exact_dedup is a min_by group-aggregate: map-side partial agg keeps one
+  candidate row per distinct key per input partition, so heavy duplicates
+  collapse BEFORE the shuffle (skew-immune; no window sort);
 - minhash_lsh candidates shuffle (band_id, band_hash) pairs — band buckets of
   heavy-duplicate clusters can skew, so the bucket join caps bucket size
   (``max_bucket``) the way production near-dup pipelines do;
@@ -17,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import shingle_starts_sql
@@ -26,13 +28,32 @@ from ..functions import shingle_starts_sql
 def exact_dedup(df: DataFrame, cols: list[str] | str,
                 id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row (the min ``id_col``) per distinct value of
-    ``cols`` — hash-groupBy exact dedup."""
+    ``cols`` — hash-groupBy exact dedup.
+
+    Plan: ``groupBy(*cols).agg(min_by(struct(*), id))`` — NOT a
+    ``row_number`` window. The window form forces a full shuffle plus a
+    per-key sort with no map-side combine, so the one skewed key a dedup
+    pipeline exists to handle (a doc duplicated 10⁸–10⁹×) lands in a
+    single straggler task (r3 verdict finding). ``min_by`` is a
+    declarative aggregate with partial aggregation: each map task keeps
+    ONE candidate row per distinct key before the shuffle, so a
+    billion-fold duplicate contributes at most one row per input
+    partition — skew-immune by construction. Grouping on the column
+    VALUES (not a 64-bit hash of them) also removes the silent
+    hash-collision drop (~hundreds of falsely-merged distinct docs
+    expected at 10¹¹ rows under a 64-bit key).
+
+    Physical flavor: Spark plans this as SortAggregate (the min_by buffer
+    holds the row struct — wider than HashAggregate's fixed-width
+    buffers); the sort is per-input-partition and uniformly parallel, and
+    only the per-key candidates cross the wire (plan-guarded in
+    tests/test_plans.py)."""
     if isinstance(cols, str):
         cols = [cols]
-    key = F.xxhash64(*[F.col(c) for c in cols])
-    w = Window.partitionBy(key).orderBy(F.col(id_col))
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).drop("__rn"))
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.min_by(row, F.col(id_col)).alias("__r"))
+            .select("__r.*"))
 
 
 def minhash_signatures(df: DataFrame, tokens_col: str = "tokens",
