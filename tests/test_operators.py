@@ -137,6 +137,39 @@ def test_embedding_neardup_pairs_verified(spark, emb_df):
     assert all(r["cosine"] >= 0.999 for r in got)
 
 
+def test_embedding_neardup_single_bucket_join(spark, emb_df):
+    """Candidate generation must be ONE self-join on the exploded bucket
+    key, not one join per LSH table (the r3 form ran n_tables separate
+    shuffling self-joins unioned together)."""
+    pairs = similarity.embedding_neardup_pairs(emb_df, threshold=0.9,
+                                               n_tables=8)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the keyed frame appears ≤4× (bucket-size count + a/b join sides, each
+    # rebuilding the explode) — with 8 tables, a per-table form would show
+    # 8 unioned branches instead
+    assert plan.count("Generate explode") <= 4
+    assert "Union" not in plan
+
+
+def test_embedding_neardup_max_bucket_drops_degenerate(spark):
+    """A >max_bucket cluster of identical vectors is dropped from the
+    bucket join (declared skew control), while normal-size near-dup
+    groups survive."""
+    base = [0.1 * (i + 1) for i in range(8)]
+    clone = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in base]).alias("embedding"))
+    pair = spark.range(2).select(
+        (F.col("id") + 1000).alias("vec_id"),
+        F.array(*[F.lit(-x) for x in base]).alias("embedding"))
+    df = clone.unionByName(pair)
+    got = similarity.embedding_neardup_pairs(
+        df, threshold=0.999, n_planes=4, n_tables=4, max_bucket=10).collect()
+    ids = {i for r in got for i in (r["id_a"], r["id_b"])}
+    assert 1000 in ids and 1001 in ids     # small group found
+    assert not any(i < 50 for i in ids)    # degenerate cluster dropped
+
+
 # --- text -------------------------------------------------------------------
 
 def test_language_id_deterministic(spark, docs_df):

@@ -195,20 +195,40 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             n_planes: int = 10, n_tables: int = 6,
-                            seed: int = 13) -> DataFrame:
+                            seed: int = 13,
+                            max_bucket: int = 10_000) -> DataFrame:
     """Embedding-cosine near-dup candidates via LSH self-join + exact
-    verification (≥ threshold). The scale path for embedding dedup."""
+    verification (≥ threshold). The scale path for embedding dedup.
+
+    Plan shape: ALL tables' signatures are computed in one Catalyst
+    projection and exploded into ``(id, bucket_key)`` rows (bucket key =
+    table id in the high bits | sig bits), so candidate generation is ONE
+    self-join on the bucket key — not one join per table (the r3 form
+    unioned ``n_tables`` separate self-joins, each with its own shuffle).
+    Only ids travel through the explode and join; embeddings are
+    re-attached to the surviving distinct pairs for the exact-cosine
+    verify, keyed by the (uniform) id.
+
+    ``max_bucket`` drops degenerate buckets (a boilerplate cluster all
+    hashing together) before the quadratic bucket join — same declared
+    skew control as ``lsh_candidate_pairs``; a dropped bucket is an
+    all-near-dups cluster better collapsed by exact dedup upstream."""
     dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, t, seed)
-        cb = c.select("id", "e", _signature("e", planes).alias("sig"))
-        a, b = cb.alias("a"), cb.alias("b")
-        hit = (a.join(b, "sig").where(F.col("a.id") < F.col("b.id"))
-               .select(F.col("a.id").alias("id_a"), F.col("a.e").alias("e_a"),
-                       F.col("b.id").alias("id_b"), F.col("b.e").alias("e_b")))
-        cand = hit if cand is None else cand.unionByName(hit)
-    return (cand.distinct()
+    keys = [_signature("e", _hyperplanes(dim, n_planes, t, seed))
+            + F.lit(t << n_planes) for t in range(n_tables)]
+    keyed = c.select("id", F.explode(F.array(*keys)).alias("bkey"))
+    sizes = (keyed.groupBy("bkey")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n").between(2, max_bucket)))
+    small = keyed.join(sizes.select("bkey"), "bkey")
+    a, b = small.alias("a"), small.alias("b")
+    cand = (a.join(b, "bkey").where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    ea = c.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"))
+    eb = c.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
             .select("id_a", "id_b", _cosine("e_a", "e_b").alias("cosine"))
             .where(F.col("cosine") >= threshold))
