@@ -53,9 +53,65 @@ def test_stream_filter_refresh_zero_fn_and_versions(spark, tmp_path):
     fp = t2.where_member(alien, "key").count()
     assert fp < 10_000 * 0.02
 
-    # version pruning: at most keep_versions (default 2) version dirs
-    vdirs = [d for d in os.listdir(table) if d.startswith("v")]
-    assert len(vdirs) <= 2
+    # version pruning: at most current + predecessor on disk, and the
+    # pointer records exactly those two
+    import re
+
+    from xorf_spark.streaming import pointer_versions
+    vdirs = {d for d in os.listdir(table) if re.fullmatch(r"v\d+|g\d+b\d+", d)}
+    assert len(vdirs) == 2
+    cur, prev = pointer_versions(table)
+    assert {cur, prev} == vdirs and cur == v2
+
+
+def test_checkpoint_reset_never_reuses_version_names(spark, tmp_path):
+    """r3 advisory (high): after a checkpoint reset batch ids restart at
+    0; a batch-id-derived version name could collide with a retained
+    COMPLETE old dir, the builder's resume pass would see every shard
+    done, and the pointer would swap onto a STALE table — false negatives
+    for every key delivered since. Generation-based names must keep every
+    incarnation's versions distinct and the refreshed filter complete."""
+    from xorf_spark.streaming import (
+        latest_version,
+        load_latest_filter_table,
+        stream_filter_refresh,
+    )
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "ftab")
+
+    def feed(name, lo, hi):
+        # ONE file per feed → one micro-batch per feed, so batch ids are
+        # deterministic (the file-stream source batches per file)
+        (spark.range(lo, hi).select(F.xxhash64("id").alias("key"))
+         .repartition(1).write.parquet(f"{src}/{name}"))
+
+    def run_incarnation(ckpt):
+        stream = spark.readStream.schema("key long").option(
+            "maxFilesPerTrigger", "1").parquet(src + "/*")
+        q = (stream_filter_refresh(stream, table, n_shards=4,
+                                   refresh_every=1)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    feed("b1", 0, 20_000)
+    feed("b2", 20_000, 40_000)
+    run_incarnation("ckpt1")            # batches 0,1 → g0b0, g1b1
+    seen_before = latest_version(table)
+    assert seen_before == "g1b1"
+    # checkpoint RESET: brand-new checkpoint dir, batch ids restart at 0
+    # and the new incarnation replays b1+b2 then delivers b3
+    feed("b3", 40_000, 60_000)
+    run_incarnation("ckpt_reset")
+    cur = latest_version(table)
+    # three more refreshes (batches 0,1,2 of the new incarnation) — names
+    # continue the generation chain, never colliding with g0b0/g1b1
+    assert cur == "g4b2"
+    t = load_latest_filter_table(spark, table, n_shards=4)
+    union = spark.range(60_000).select(F.xxhash64("id").alias("key"))
+    assert t.where_member(union, "key").count() == 60_000  # zero FN
 
 
 def test_stream_filter_refresh_staged_spill_cleaned(spark, tmp_path):

@@ -1,6 +1,7 @@
 from .filter_refresh import (  # noqa: F401
     latest_version,
     load_latest_filter_table,
+    pointer_versions,
     stream_filter_refresh,
 )
 from .membership import stream_dedup_filter, stream_membership  # noqa: F401

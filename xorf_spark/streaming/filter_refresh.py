@@ -8,9 +8,21 @@ accumulated distinct keys).
 Layout under ``table_path``::
 
     keys/                  append-only distinct-per-batch key log (parquet)
-    v3/, v7/, ...          immutable shard tables (one per refresh;
-                           version = the batch id that triggered it)
-    _LATEST                text file holding the current version dir name
+    g0b0/, g1b3/, ...      immutable shard tables (one per refresh;
+                           name = monotonic GENERATION + triggering batch)
+    _LATEST                text file: current version dir name, then the
+                           predecessor's, whitespace-separated
+
+Version names carry a monotonic **generation** read from the current
+pointer (gen = pointer's gen + 1), NOT the raw batch id: batch ids
+restart at 0 after a checkpoint reset, and a batch-id-derived name could
+collide with a retained COMPLETE old version dir — the rebuild's
+resume pass would then see every shard 'done' and swap the pointer to a
+STALE table, silently violating the zero-false-negative contract (r3
+advisory). With generations, a fresh rebuild can only ever reuse a dir
+name left by a crashed replay of the SAME batch in the SAME incarnation
+— exactly the case checkpoint-resume is built for — and never the
+pointer's current target.
 
 The swap is ATOMIC at the pointer level: a new version directory is fully
 written by the checkpoint-resumable builder before ``_LATEST`` is
@@ -18,9 +30,10 @@ rewritten (written to a temp name then renamed — a single rename on
 POSIX; on object stores the final PUT replaces the object atomically),
 so a reader loading via :func:`load_latest_filter_table` always sees a
 complete table — either the old or the new version, never a half-built
-or half-written one. Pruning keeps the version the pointer names plus
-its predecessor, never trusting version-number ordering (batch ids
-restart at 0 after a checkpoint reset).
+or half-written one. Pruning keeps the two versions the pointer itself
+records (current + predecessor), so a crash-after-swap replay can never
+delete the directory a concurrent reader loaded via the pre-crash
+pointer.
 
 Scale notes: the key log holds per-batch-distinct rows, so it grows with
 total delivered (not distinct) keys across batches; the rebuild runs one
@@ -57,16 +70,34 @@ def _pointer_path(base: str) -> str:
     return f"{base}/_LATEST"
 
 
-def latest_version(table_path: str) -> str | None:
-    """Current version directory name (e.g. ``"v7"``), or None before the
-    first refresh. Real I/O errors (auth, network) propagate — only
-    not-found means "no version yet"."""
+def pointer_versions(table_path: str) -> tuple[str | None, str | None]:
+    """``(current, predecessor)`` version dir names as recorded in the
+    pointer file, or Nones before the first refresh / for a pre-r4
+    single-name pointer. Real I/O errors (auth, network) propagate —
+    only not-found means "no version yet"."""
     fsys, base = _fs(table_path)
     try:
         with fsys.open_input_stream(_pointer_path(base)) as fh:
-            return fh.read().decode().strip() or None
+            toks = fh.read().decode().split()
     except FileNotFoundError:
-        return None
+        return None, None
+    return (toks[0] if toks else None,
+            toks[1] if len(toks) > 1 else None)
+
+
+def latest_version(table_path: str) -> str | None:
+    """Current version directory name (e.g. ``"g2b7"``), or None before
+    the first refresh."""
+    return pointer_versions(table_path)[0]
+
+
+def _generation(version: str | None) -> int:
+    """Monotonic generation parsed from a version dir name; -1 for no /
+    legacy (``v7``-style) pointers so the next generation starts at 0."""
+    import re
+
+    m = re.fullmatch(r"g(\d+)b\d+", version or "")
+    return int(m.group(1)) if m else -1
 
 
 def load_latest_filter_table(spark: SparkSession, table_path: str,
@@ -109,7 +140,15 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
          .parquet(keys_path))
         if batch_id % refresh_every != refresh_every - 1:
             return
-        version = f"v{batch_id}"
+        prev, _ = pointer_versions(table_path)
+        # generation = current pointer's + 1: never collides with ANY
+        # retained dir across checkpoint resets (batch ids restart at 0;
+        # a name collision with a COMPLETE old dir would make the
+        # builder's resume pass see every shard done and swap the pointer
+        # onto a stale table). The only reusable name is this same
+        # (generation, batch) pair — a crashed replay of this very batch,
+        # which is the checkpoint-resume case the builder exists for.
+        version = f"g{_generation(prev) + 1}b{batch_id}"
         # global distinct: per-batch distinct still re-delivers keys
         # across batches, and the builder sizes arrays by RAW row count —
         # without this the filter would grow with total delivered keys
@@ -126,17 +165,20 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
         # temp name, then rename over _LATEST — a single atomic rename on
         # POSIX (open_output_stream on the final path would truncate
         # in place, leaving a window where readers see an empty pointer);
-        # on object stores the copy's PUT replaces atomically.
-        prev = latest_version(table_path)
+        # on object stores the copy's PUT replaces atomically. The
+        # pointer records current AND predecessor, so pruning never has
+        # to infer the predecessor from directory listings.
         fsys, base = _fs(table_path)
         tmp = _pointer_path(base) + f".tmp-{batch_id}"
+        content = f"{version} {prev}" if prev else version
         with fsys.open_output_stream(tmp) as fh:
-            fh.write(version.encode())
+            fh.write(content.encode())
         fsys.move(tmp, _pointer_path(base))
-        # prune: keep the version the pointer NAMES plus its predecessor.
-        # Never trust version-number ordering — after a checkpoint reset
-        # batch ids restart at 0, and "keep the numerically largest"
-        # would delete the dir _LATEST was just pointed at.
+        # prune: keep exactly the versions the pointer records (current +
+        # predecessor). Never trust version-number ordering, and never a
+        # listing-derived predecessor: on a crash-after-swap replay the
+        # pointer already names this version, and a guessed predecessor
+        # could delete the dir a concurrent reader is still probing.
         import re
 
         from pyarrow import fs as pafs
@@ -144,7 +186,8 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
         for info in fsys.get_file_info(pafs.FileSelector(base)):
             name = info.base_name
             if (info.type == pafs.FileType.Directory
-                    and re.fullmatch(r"v\d+", name) and name not in keep):
+                    and re.fullmatch(r"v\d+|g\d+b\d+", name)
+                    and name not in keep):
                 fsys.delete_dir(f"{base}/{name}")
 
     return stream_df.writeStream.foreachBatch(process).outputMode("update")
