@@ -331,10 +331,18 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
 
 def _make_stage_lister():
     """Factory for the worker-side shard-file lister. Returned as a NESTED
-    function so cloudpickle serializes it BY VALUE into the worker closure
-    — the staged build/probe workers stay self-contained and do not
-    require xorf_spark on executor PYTHONPATH (a module-level helper would
-    pickle by reference and break driver-only deployments).
+    function so cloudpickle serializes it BY VALUE into the worker closure.
+
+    NOTE (r4, corrected claim): this does NOT make the staged workers
+    self-contained — the enclosing worker closures still reference
+    module-level helpers (``_build_shard_row``, ``SHARD_SCHEMA``, …) which
+    cloudpickle serializes BY REFERENCE, so executors need ``xorf_spark``
+    importable regardless (``ship_package(spark)`` / spark-submit
+    ``--py-files dist/xorf_spark.zip`` — the deployment contract tested by
+    ``tests/test_entry.py::test_py_files_packaged_boundary``). The factory
+    shape is kept only as defense-in-depth: the lister carries no module
+    references of its own, so it keeps working even if the module layout
+    around it changes.
 
     The lister resolves paths with ``pyarrow.fs.FileSystem.from_uri``,
     which handles plain local paths AND object-store URIs (s3://, hdfs://,

@@ -413,9 +413,13 @@ ORACLE_SKETCH_MERGE_ASSOC = (
 def registry() -> dict[str, tuple]:
     return {
         "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
-        # hll_shingle_distinct dropped from the gate registry (same HLL law
-        # as hll_distinct on another key set — folded to fit the driver's
-        # ~50-query window); q_hll_shingle_distinct stays pytest-covered.
+        # hll_shingle_distinct lives in the registry TAIL (same HLL law as
+        # hll_distinct on the shingle key set): past the driver's ~50-query
+        # window but oracle-checked tri-scale by run_full_check (r4 advice:
+        # excluded queries stay in the registry, exclusion recorded in
+        # GATE_ORDER.md, not silently curated away).
+        "hll_shingle_distinct": (q_hll_shingle_distinct,
+                                 ORACLE_HLL_SHINGLE_DISTINCT),
         "hll_group_distinct": (q_hll_group_distinct,
                                ORACLE_HLL_GROUP_DISTINCT),
         "cms_counts": (q_cms_counts, ORACLE_CMS_COUNTS),
