@@ -22,20 +22,37 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def registry_names() -> list[str]:
+    sys.path.insert(0, REPO)
+    from xorf_spark.queries import registry
+    return list(registry())
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "CHECK.json"
     sf_dirs = sys.argv[2:] or ["/root/testdata/sf0.001",
                                "/root/testdata/sf0.01"]
+    # XORF_CHUNKS=k splits each scale's run into k name-chunk subprocesses
+    # (fresh JVM each) — the sf0.1 registry needs ~4 chunks to stay under
+    # this sandbox's 10-minute foreground window
+    n_chunks = max(1, int(os.environ.get("XORF_CHUNKS", "1")))
+    expected = registry_names()
+    chunks = ([expected[i::n_chunks] for i in range(n_chunks)]
+              if n_chunks > 1 else [[]])
     tmp = tempfile.mktemp(suffix=".jsonl")
     per_scale = {}
     rcs = {}
     for sf_dir in sf_dirs:
-        env = dict(os.environ, CHECK_JSON=tmp)
-        r = subprocess.run(
-            [sys.executable, f"{REPO}/scripts/check_oracle.py", sf_dir],
-            env=env, cwd=REPO)
-        rcs[sf_dir] = r.returncode
-        print(f"{sf_dir}: rc={r.returncode}", flush=True)
+        rc = 0
+        for chunk in chunks:
+            env = dict(os.environ, CHECK_JSON=tmp)
+            r = subprocess.run(
+                [sys.executable, f"{REPO}/scripts/check_oracle.py",
+                 sf_dir, *chunk],
+                env=env, cwd=REPO)
+            rc = rc or r.returncode
+        rcs[sf_dir] = rc
+        print(f"{sf_dir}: rc={rc}", flush=True)
     # a subprocess that died before its first CHECK_JSON append leaves no
     # file at all — still emit the artifact with the recorded return
     # codes so the failure is visible, instead of crashing and leaving a
@@ -58,8 +75,16 @@ def main():
         "all_pass": (
             all(rc == 0 for rc in rcs.values())
             and all(sf in per_scale for sf in sf_dirs)
+            # every scale must hold the FULL registry — a chunk that died
+            # mid-run leaves its scale present but incomplete, which must
+            # not read as green
+            and all(set(expected) <= set(per_scale.get(sf, {}))
+                    for sf in sf_dirs)
             and all(res[n]["status"] in ("pass", "rows-only")
                     for res in per_scale.values() for n in res)),
+        "missing": sorted({
+            f"{sf}:{n}" for sf in sf_dirs
+            for n in set(expected) - set(per_scale.get(sf, {}))}),
         "n_rows_only": len({
             n for res in per_scale.values() for n in res
             if res[n]["status"] == "rows-only"}),
