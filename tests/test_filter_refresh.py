@@ -146,6 +146,58 @@ def test_stream_filter_refresh_staged_spill_cleaned(spark, tmp_path):
     assert not leftover, leftover
 
 
+def test_compact_key_log_shrinks_and_preserves_zero_fn(spark, tmp_path):
+    """compact_key_log rewrites the append-only log to its distinct set
+    (bounding long-stream growth) without ever invalidating the filter
+    contract: the next rebuild still covers every delivered key."""
+    from xorf_spark.streaming import (
+        compact_key_log,
+        load_latest_filter_table,
+        stream_filter_refresh,
+    )
+
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "ftab")
+
+    # three batches, heavily overlapping → log holds ~3x the distinct set
+    for i, (lo, hi) in enumerate([(0, 20_000), (0, 25_000), (0, 30_000)]):
+        (spark.range(lo, hi).select(F.xxhash64("id").alias("key"))
+         .repartition(1).write.parquet(f"{src}/b{i}"))
+    stream = spark.readStream.schema("key long").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = (stream_filter_refresh(stream, table, n_shards=4, refresh_every=1)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    keys_path = f"{table}/keys"
+    before = spark.read.parquet(keys_path).count()
+    assert before == 75_000          # 20k + 25k + 30k delivered-distinct
+    removed = compact_key_log(spark, table)
+    assert removed >= 3
+    after_df = spark.read.parquet(keys_path)
+    assert after_df.count() == 30_000            # true distinct set
+    assert after_df.distinct().count() == 30_000
+    # idempotent
+    compact_key_log(spark, table)
+    assert spark.read.parquet(keys_path).count() == 30_000
+
+    # deliver one more batch AFTER compaction, refresh, zero FN holds
+    (spark.range(30_000, 40_000).select(F.xxhash64("id").alias("key"))
+     .repartition(1).write.parquet(f"{src}/b3"))
+    stream2 = spark.readStream.schema("key long").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q2 = (stream_filter_refresh(stream2, table, n_shards=4, refresh_every=1)
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .start())
+    q2.processAllAvailable()
+    q2.stop()
+    t = load_latest_filter_table(spark, table, n_shards=4)
+    union = spark.range(40_000).select(F.xxhash64("id").alias("key"))
+    assert t.where_member(union, "key").count() == 40_000
+
+
 def test_latest_version_empty_and_interval_parse(tmp_path):
     """Non-Spark helper edges: missing pointer -> None; interval parser
     accepts the documented forms and rejects garbage loudly."""

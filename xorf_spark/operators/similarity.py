@@ -213,7 +213,11 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     hashing together) before the quadratic bucket join — same declared
     skew control as ``lsh_candidate_pairs``; a dropped bucket is an
     all-near-dups cluster better collapsed by exact dedup upstream."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError(
+            "embedding_neardup_pairs: empty corpus (cannot infer dim)")
+    dim = len(head[0])
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     keys = [_signature("e", _hyperplanes(dim, n_planes, t, seed))
             + F.lit(t << n_planes) for t in range(n_tables)]

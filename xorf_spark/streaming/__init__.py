@@ -1,4 +1,5 @@
 from .filter_refresh import (  # noqa: F401
+    compact_key_log,
     latest_version,
     load_latest_filter_table,
     pointer_versions,

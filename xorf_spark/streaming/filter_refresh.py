@@ -38,9 +38,10 @@ pointer.
 Scale notes: the key log holds per-batch-distinct rows, so it grows with
 total delivered (not distinct) keys across batches; the rebuild runs one
 global ``distinct()`` so the FILTER is always sized by true distinct
-keys. For streams that re-deliver heavily, compact the log offline
-(rewrite ``keys/`` from any version's key set) — the immutable versions
-are never invalidated by log maintenance. Each rebuild is the staged
+keys. For streams that re-deliver heavily, :func:`compact_key_log`
+rewrites the log to its distinct set — crash-safe and safe to run while
+the stream is live (see its docstring); the immutable versions are never
+invalidated by log maintenance. Each rebuild is the staged
 production build when ``stage_dir`` is passed; its per-version spill is
 deleted after the build.
 """
@@ -110,6 +111,45 @@ def load_latest_filter_table(spark: SparkSession, table_path: str,
             f"(stream not refreshed yet)")
     shard_df = spark.read.parquet(os.path.join(table_path, v))
     return FilterTable.from_df(shard_df, **kw)
+
+
+def compact_key_log(spark: SparkSession, table_path: str) -> int:
+    """Compact the append-only ``keys/`` log to its distinct key set.
+    Returns the number of log files removed.
+
+    The log grows with total *delivered* keys across batches (per-batch
+    distinct only); for heavily re-delivering streams this rewrites it to
+    the true distinct set. Crash-safe AND safe to run while the stream is
+    live, by construction:
+
+    1. list the current log files;
+    2. read exactly THOSE files, ``distinct()``, append the result as new
+       files into the same directory (new part files get unique names —
+       nothing is overwritten, and a concurrent micro-batch append is
+       untouched because deletion below only targets the pre-listed set);
+    3. delete the listed old files.
+
+    Every crash window leaves the directory a SUPERSET of the distinct
+    key set (duplicates at worst), and the rebuild path runs a global
+    ``distinct()`` anyway — so the filter's zero-false-negative contract
+    can never be violated by a failed or concurrent compaction."""
+    from pyarrow import fs as pafs
+
+    keys_path = os.path.join(table_path, "keys")
+    fsys, base = _fs(keys_path)
+    old = [f.path for f in fsys.get_file_info(pafs.FileSelector(base))
+           if f.is_file and f.base_name.endswith(".parquet")]
+    if not old:
+        return 0
+    # paths as spark sees them (pyarrow strips the scheme for local fs)
+    (spark.read.parquet(*old).distinct()
+     .write.mode("append")
+     .option("compression", "none")
+     .option("parquet.enable.dictionary", "false")
+     .parquet(keys_path))
+    for p in old:
+        fsys.delete_file(p)
+    return len(old)
 
 
 def stream_filter_refresh(stream_df: DataFrame, table_path: str,
