@@ -179,6 +179,52 @@ def test_language_id_deterministic(spark, docs_df):
     assert out.where(F.col("lang_pred") != "und").count() > 0
 
 
+def test_lm_quality_flags_gibberish(spark):
+    """Unigram-LM scoring (CCNet-style): a gibberish doc must score a
+    higher mean -log2 p and OOV fraction than docs made of the corpus'
+    common words."""
+    common = [(i, "the cat sat on the mat and the dog ran")
+              for i in range(50)]
+    rows = common + [(99, "zxqv wvutk jjkqp mmznx bbvcx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab, oov = text.unigram_logprob_table(df, top_k=8)
+    scored = {r.doc_id: r for r in
+              text.lm_quality_score(df, vocab, oov).collect()}
+    assert scored[99].oov_frac == 1.0
+    assert scored[0].oov_frac < 0.5
+    assert scored[99].avg_neg_logp > scored[0].avg_neg_logp
+    # vocab is capped and carries positive surprisal
+    assert vocab.count() <= 8
+    assert all(r.neg_logp > 0 for r in vocab.collect())
+
+
+def test_mixture_sample_hits_target_mix(spark):
+    """Domain-mix resampling: skewed input (src a 8k, b 8k, c 1k) toward a
+    dyadic 0.5/0.25/0.25 target — the binding source keeps every row,
+    others downsample; achieved mixture lands near the target and the
+    selection is deterministic."""
+    rows = ([("a", i) for i in range(8000)]
+            + [("b", 10_000 + i) for i in range(8000)]
+            + [("c", 20_000 + i) for i in range(1000)]
+            + [("drop_me", 30_000 + i) for i in range(500)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    weights = {"a": 0.5, "b": 0.25, "c": 0.25}
+    out = text.mixture_sample(df, weights, salt="t")
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "drop_me" not in got
+    # binding source: c (1000/0.25 = 4000 is the cap) keeps all rows
+    assert got["c"] == 1000
+    total = sum(got.values())
+    for s, w in weights.items():
+        assert abs(got[s] / total - w) < 0.03, (s, got)
+    # deterministic: identical selection on re-run
+    again = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert again == sorted(r.doc_id for r in
+                           text.mixture_sample(df, weights, salt="t")
+                           .select("doc_id").collect())
+
+
 def test_quality_score_bounds(spark, docs_df):
     out = text.quality_score(docs_df)
     bad = out.where((F.col("quality") < 0) | (F.col("quality") > 1)).count()

@@ -256,3 +256,102 @@ def tf_idf_terms(df: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", rank.cast("int"))
             .where(F.col("rank") <= k_top)
             .select(id_col, "term", "tf", "df", "score_micro", "rank"))
+
+
+def unigram_logprob_table(df: DataFrame, text_col: str = "text",
+                          top_k: int = 65536, alpha: float = 1.0,
+                          split_pattern: str = r"\s+",
+                          ) -> tuple[DataFrame, float]:
+    """CCNet-style corpus unigram LM (Wenzek et al. 2020): lowercased
+    ``split_pattern``-separated words → counts → top-``top_k`` vocabulary
+    with add-``alpha`` smoothed negative log2 probabilities. Returns
+    ``(vocab_df, oov_neg_logp)``: the vocab frame is
+    ``(word, n, neg_logp)`` and the float scores any out-of-vocabulary
+    word.
+
+    Scale shape: ONE shuffle — the word-key groupBy, whose map-side
+    partial aggregate collapses hot stopwords before the exchange (skew-
+    safe); the top-k is a TakeOrdered, not a global sort; the totals read
+    collects two scalars. The smoothing denominator uses the FULL
+    pre-truncation mass, so OOV probability reflects the corpus, not the
+    cut."""
+    import math
+
+    words = (df.select(F.explode(
+        F.split(F.lower(F.col(text_col)), split_pattern)).alias("word"))
+        .where(F.col("word") != ""))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"),
+                     F.count(F.lit(1)).alias("types")).collect()[0]
+    total, types = int(tot.total or 0), int(tot.types)
+    denom = float(total) + alpha * (types + 1)      # +1 = the OOV type
+    vocab = (counts.orderBy(F.desc("n"), F.asc("word")).limit(top_k)
+             .select("word", "n",
+                     F.round(-F.log2((F.col("n") + F.lit(float(alpha)))
+                                     / F.lit(denom)), 6).alias("neg_logp")))
+    return vocab, round(-math.log2(alpha / denom), 6)
+
+
+def lm_quality_score(df: DataFrame, vocab_df: DataFrame,
+                     oov_neg_logp: float, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     split_pattern: str = r"\s+") -> DataFrame:
+    """Per-doc fluency proxy under the broadcast unigram LM: mean
+    -log2 p(word) (low = common/fluent, high = rare/gibberish — the
+    CCNet head/middle/tail signal) plus the out-of-vocabulary fraction.
+    Returns ``(id_col, n_words, avg_neg_logp, oov_frac)``.
+
+    Plan: explode → BROADCAST-join the ≤top_k-row vocab → groupBy(id)
+    whose partial aggregate reduces shuffle volume to one partial row per
+    doc per input partition — the word stream itself never crosses the
+    wire."""
+    words = (df.select(F.col(id_col), F.explode(
+        F.split(F.lower(F.col(text_col)), split_pattern)).alias("word"))
+        .where(F.col("word") != ""))
+    j = words.join(F.broadcast(vocab_df.select("word", "neg_logp")),
+                   "word", "left")
+    nlp = F.coalesce(F.col("neg_logp"), F.lit(float(oov_neg_logp)))
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.round(F.avg(nlp), 4).alias("avg_neg_logp"),
+                 F.round(F.avg(F.col("neg_logp").isNull().cast("double")),
+                         4).alias("oov_frac")))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "") -> DataFrame:
+    """Deterministic domain-mix resampling (downsample-only): per-source
+    keep-rates chosen so the output matches the target mixture
+    ``weights`` as closely as possible without upsampling (the binding
+    source keeps rate 1.0; the output total is the largest achievable),
+    selected with the engine-portable md5 hash — the same repeatability
+    contract as ``deterministic_sample`` (a row's verdict never changes
+    when other rows appear). Sources absent from ``weights`` are dropped.
+
+    All rate arithmetic stays IN-PLAN (per-source counts × the tiny
+    weights frame, broadcast back onto the data), so an external engine
+    can reproduce the exact selection — and so the only full-data pass
+    shuffles nothing: counts have map-side partial agg, the rates join is
+    a broadcast. Weights are normalized by their sum; prefer weights
+    whose sum is exactly representable (e.g. dyadic fractions) when an
+    oracle must reproduce the rates bit-for-bit."""
+    from ..functions.registry import md5long
+
+    spark = df.sparkSession
+    total_w = sum(weights.values())
+    wdf = spark.createDataFrame(
+        [(s, w / total_w) for s, w in weights.items()],
+        f"{source_col} string, wt double")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = counts.join(wdf, source_col)
+    cap = j.select(F.min(F.col("__n") / F.col("wt")).alias("__cap"))
+    rates = (j.crossJoin(cap)
+             .select(source_col,
+                     F.round(F.col("wt") * F.col("__cap") / F.col("__n"),
+                             6).alias("__rate")))
+    h = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (df.join(F.broadcast(rates), source_col)
+            .where(h < F.floor(F.col("__rate") * F.lit(float(1 << 60)))
+                   .cast("long"))
+            .drop("__rate"))

@@ -1013,6 +1013,99 @@ ORDER BY doc_id
 """
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring: build the corpus unigram LM
+    (top-16 vocabulary, add-1 smoothing — small cap so the tiny synthetic
+    vocab still exercises the OOV path), score every doc by mean
+    -log2 p(word) + OOV fraction, aggregate per source. Single-space
+    split to match the corpus' clean tokenization (the operators default
+    to \\s+). Oracle reproduces the full LM + scoring pipeline in SQL."""
+    from .operators.text import lm_quality_score, unigram_logprob_table
+
+    docs = load(spark, sf_dir, "documents")
+    vocab, oov = unigram_logprob_table(docs, top_k=16, alpha=1.0,
+                                       split_pattern=" ")
+    scored = lm_quality_score(docs, vocab, oov, split_pattern=" ")
+    return (scored.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("avg_neg_logp"), 3).alias("mean_nlp"),
+                 F.round(F.avg("oov_frac"), 3).alias("mean_oov"))
+            .orderBy("source"))
+
+
+ORACLE_LM_QUALITY = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) t WHERE w <> ''
+),
+counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+               count(*) AS types FROM counts),
+vocab AS (
+  SELECT w, round(-log2((n + 1.0) / (total + 1.0 * (types + 1))), 6)
+           AS neg_logp
+  FROM counts, tot ORDER BY n DESC, w LIMIT 16
+),
+oovv AS (SELECT round(-log2(1.0 / (total + 1.0 * (types + 1))), 6) AS o
+         FROM tot),
+scored AS (
+  SELECT doc_id,
+         round(avg(coalesce(v.neg_logp, (SELECT o FROM oovv))), 4)
+           AS avg_neg_logp,
+         round(avg(CASE WHEN v.neg_logp IS NULL THEN 1.0 ELSE 0.0 END), 4)
+           AS oov_frac
+  FROM words LEFT JOIN vocab v ON words.w = v.w
+  GROUP BY doc_id
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(s.avg_neg_logp), 3) AS mean_nlp,
+       round(avg(s.oov_frac), 3) AS mean_oov
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+#: Dyadic target mixture (sums to exactly 1.0 in binary) so the in-plan
+#: rate arithmetic is bit-identical between Spark and the oracle.
+MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125,
+                   "src3": 0.125}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mix resampling toward MIXTURE_WEIGHTS
+    (downsample-only; binding source src0 keeps rate 1.0, sources outside
+    the mixture are dropped). The oracle recomputes the per-source rates
+    AND the exact selected rows in SQL — same engine-portability contract
+    as deterministic_sample."""
+    from .operators.text import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = mixture_sample(docs, MIXTURE_WEIGHTS, salt="mix4")
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_out"))
+            .orderBy("source"))
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+                            ('src2', 0.125), ('src3', 0.125))
+      AS t(source, wt)),
+j AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+cap AS (SELECT min(n / wt) AS cap FROM j),
+r AS (SELECT source, round(wt * cap / n, 6) AS rate FROM j, cap),
+sel AS (
+  SELECT d.source FROM documents d JOIN r USING (source)
+  WHERE {_md5long_sql("CAST(doc_id AS VARCHAR) || 'mix4'")}
+        < CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_out
+FROM sel GROUP BY source ORDER BY source
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join, oracle-exact against DuckDB's native ASOF JOIN: every
     click event picks up the user's most recent prior-or-simultaneous view
@@ -1658,6 +1751,8 @@ _GATE_ORDER = [
     "stratified_take",           # sampling: deterministic_sample
     "contamination_report",      # decontam family: decontaminate
     "hll_shingle_distinct",      # HLL family: hll_distinct (shingle keys)
+    "lm_quality",                # text-quality family: text_quality
+    "mixture_sample",            # sampling family: deterministic_sample
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -1696,6 +1791,8 @@ def registry() -> dict[str, tuple]:
         "redact_pii": (q_redact_pii, ORACLE_REDACT_PII),
         "deterministic_sample": (q_deterministic_sample,
                                  ORACLE_DETERMINISTIC_SAMPLE),
+        "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
+        "mixture_sample": (q_mixture_sample, ORACLE_MIXTURE_SAMPLE),
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
