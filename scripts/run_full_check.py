@@ -37,8 +37,11 @@ def main():
     # this sandbox's 10-minute foreground window
     n_chunks = max(1, int(os.environ.get("XORF_CHUNKS", "1")))
     expected = registry_names()
-    chunks = ([expected[i::n_chunks] for i in range(n_chunks)]
-              if n_chunks > 1 else [[]])
+    # clamp + drop empties: an empty chunk would pass NO names to
+    # check_oracle.py, which treats that as "run the full registry"
+    n_chunks = min(n_chunks, len(expected))
+    chunks = ([c for c in (expected[i::n_chunks] for i in range(n_chunks))
+               if c] if n_chunks > 1 else [[]])
     tmp = tempfile.mktemp(suffix=".jsonl")
     per_scale = {}
     rcs = {}

@@ -37,6 +37,20 @@ def test_exact_dedup(spark, token_df):
     assert out.count() == token_df.select("tokens").distinct().count()
 
 
+def test_exact_dedup_all_null_ids_keep_real_row(spark):
+    """A group whose every id is NULL must still keep a real
+    representative row (bare min_by ignores null orderings and would
+    emit an all-NULL row, corrupting the dedup key itself)."""
+    df = spark.createDataFrame(
+        [("x", None), ("x", None), ("y", 7), ("y", None)],
+        "text string, doc_id long")
+    got = {r.text: r.doc_id
+           for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert set(got) == {"x", "y"}   # the key survives, no NULL-text row
+    assert got["x"] is None
+    assert got["y"] == 7            # non-null id still wins its group
+
+
 def test_minhash_signature_properties(spark, token_df):
     sigs = dedup.minhash_signatures(token_df, num_perm=16, shingle=3)
     row = sigs.select("doc_id", "minhash").first()

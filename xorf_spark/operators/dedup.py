@@ -51,8 +51,17 @@ def exact_dedup(df: DataFrame, cols: list[str] | str,
     if isinstance(cols, str):
         cols = [cols]
     row = F.struct(*[F.col(c) for c in df.columns])
+    # ordering wrapped in a struct with a null flag: bare min_by IGNORES
+    # rows whose ordering is null, so a group whose every id is null
+    # would yield a null struct and select('__r.*') would emit an
+    # all-NULL row (corrupting the dedup key itself); the struct is
+    # never null, non-null ids still win, and an all-null-id group keeps
+    # a real representative (arbitrary among ties, same as the previous
+    # window form)
+    ordering = F.struct(F.col(id_col).isNull().cast("int").alias("n"),
+                        F.col(id_col).alias("v"))
     return (df.groupBy(*[F.col(c) for c in cols])
-            .agg(F.min_by(row, F.col(id_col)).alias("__r"))
+            .agg(F.min_by(row, ordering).alias("__r"))
             .select("__r.*"))
 
 

@@ -196,7 +196,7 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
                             vec_col: str = "embedding",
                             n_planes: int = 10, n_tables: int = 6,
                             seed: int = 13,
-                            max_bucket: int = 10_000) -> DataFrame:
+                            max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup candidates via LSH self-join + exact
     verification (≥ threshold). The scale path for embedding dedup.
 
@@ -212,12 +212,22 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     ``max_bucket`` drops degenerate buckets (a boilerplate cluster all
     hashing together) before the quadratic bucket join — same declared
     skew control as ``lsh_candidate_pairs``; a dropped bucket is an
-    all-near-dups cluster better collapsed by exact dedup upstream."""
+    all-near-dups cluster better collapsed by exact dedup upstream. The
+    default is OCCUPANCY-RELATIVE — ``max(1024, 16 × n/2^n_planes)``,
+    i.e. 16× the average bucket — so only genuinely degenerate buckets
+    are dropped; an absolute default would silently filter EVERY bucket
+    (total recall loss) once normal occupancy outgrew it at corpus
+    scale. Pass an explicit int to override, or a huge value to disable.
+    """
     head = corpus.select(vec_col).first()
-    if head is None:
+    if head is None or head[0] is None:
         raise ValueError(
-            "embedding_neardup_pairs: empty corpus (cannot infer dim)")
+            "embedding_neardup_pairs: empty corpus or null first "
+            f"embedding (cannot infer dim from {head!r})")
     dim = len(head[0])
+    if max_bucket is None:
+        n_rows = corpus.count()
+        max_bucket = max(1024, 16 * -(-n_rows // (1 << n_planes)))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     keys = [_signature("e", _hyperplanes(dim, n_planes, t, seed))
             + F.lit(t << n_planes) for t in range(n_tables)]

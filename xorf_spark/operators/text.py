@@ -160,6 +160,21 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             .withColumn("n_phones", n_phone))
 
 
+#: 60-bit hash space for the portable selection hash below.
+_HASH_SPACE = float(1 << 60)
+
+
+def _selection_hash(id_col: str, salt: str) -> Column:
+    """The engine-portable selection hash shared by deterministic_sample,
+    stratified_take and mixture_sample: md5(id || salt), first 15 hex
+    digits as a bigint — uniform on [0, 2^60). Oracle twin:
+    queries._md5long_sql. Keeping it in ONE place keeps the three
+    samplers' selection semantics (and their SQL oracles) in lockstep."""
+    from ..functions.registry import md5long
+
+    return md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+
+
 def deterministic_sample(df: DataFrame, fraction: float,
                          id_col: str = "doc_id",
                          salt: str = "") -> DataFrame:
@@ -170,11 +185,8 @@ def deterministic_sample(df: DataFrame, fraction: float,
     rows in SQL), and (b) stable under data growth — a row's verdict never
     changes when other rows appear, which is what lets incremental
     pipeline runs stay consistent with full reruns."""
-    from ..functions.registry import md5long
-
-    threshold = int(fraction * float(1 << 60))
-    h = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    return df.where(h < F.lit(threshold))
+    threshold = int(fraction * _HASH_SPACE)
+    return df.where(_selection_hash(id_col, salt) < F.lit(threshold))
 
 
 def stratified_take(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
@@ -196,9 +208,7 @@ def stratified_take(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
     ``rank_col`` optionally exposes the 1-based within-stratum rank."""
     from pyspark.sql.window import Window
 
-    from ..functions.registry import md5long
-
-    h = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    h = _selection_hash(id_col, salt)
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(),
                                                 F.col(id_col).asc())
     ranked = df.withColumn("__rk", F.row_number().over(w))
@@ -336,8 +346,6 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     a broadcast. Weights are normalized by their sum; prefer weights
     whose sum is exactly representable (e.g. dyadic fractions) when an
     oracle must reproduce the rates bit-for-bit."""
-    from ..functions.registry import md5long
-
     spark = df.sparkSession
     total_w = sum(weights.values())
     wdf = spark.createDataFrame(
@@ -350,8 +358,8 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
              .select(source_col,
                      F.round(F.col("wt") * F.col("__cap") / F.col("__n"),
                              6).alias("__rate")))
-    h = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     return (df.join(F.broadcast(rates), source_col)
-            .where(h < F.floor(F.col("__rate") * F.lit(float(1 << 60)))
+            .where(_selection_hash(id_col, salt)
+                   < F.floor(F.col("__rate") * F.lit(_HASH_SPACE))
                    .cast("long"))
             .drop("__rate"))

@@ -39,9 +39,9 @@ Scale notes: the key log holds per-batch-distinct rows, so it grows with
 total delivered (not distinct) keys across batches; the rebuild runs one
 global ``distinct()`` so the FILTER is always sized by true distinct
 keys. For streams that re-deliver heavily, :func:`compact_key_log`
-rewrites the log to its distinct set — crash-safe and safe to run while
-the stream is live (see its docstring); the immutable versions are never
-invalidated by log maintenance. Each rebuild is the staged
+rewrites the log to its distinct set — crash-safe, append-concurrent-
+safe; schedule it between refreshes (see its docstring); the immutable
+versions are never invalidated by log maintenance. Each rebuild is the staged
 production build when ``stage_dir`` is passed; its per-version spill is
 deleted after the build.
 """
@@ -119,8 +119,8 @@ def compact_key_log(spark: SparkSession, table_path: str) -> int:
 
     The log grows with total *delivered* keys across batches (per-batch
     distinct only); for heavily re-delivering streams this rewrites it to
-    the true distinct set. Crash-safe AND safe to run while the stream is
-    live, by construction:
+    the true distinct set. Crash-safe, and safe against concurrent
+    micro-batch APPENDS, by construction:
 
     1. list the current log files;
     2. read exactly THOSE files, ``distinct()``, append the result as new
@@ -132,7 +132,14 @@ def compact_key_log(spark: SparkSession, table_path: str) -> int:
     Every crash window leaves the directory a SUPERSET of the distinct
     key set (duplicates at worst), and the rebuild path runs a global
     ``distinct()`` anyway — so the filter's zero-false-negative contract
-    can never be violated by a failed or concurrent compaction."""
+    can never be violated by a failed compaction.
+
+    Concurrency caveat: a REBUILD that is scanning the log while step 3
+    deletes files it listed will fail that batch with missing-file errors
+    (an availability hiccup, never a silent-FN one — restarting the
+    stream replays the batch against the compacted log). Schedule
+    compaction between refreshes, e.g. from the same ``foreachBatch``
+    driver thread on batches where no rebuild runs."""
     from pyarrow import fs as pafs
 
     keys_path = os.path.join(table_path, "keys")
@@ -141,8 +148,13 @@ def compact_key_log(spark: SparkSession, table_path: str) -> int:
            if f.is_file and f.base_name.endswith(".parquet")]
     if not old:
         return 0
-    # paths as spark sees them (pyarrow strips the scheme for local fs)
-    (spark.read.parquet(*old).distinct()
+    # pyarrow strips the URI scheme from listed paths; re-attach it so
+    # spark resolves them against the right filesystem (s3://, hdfs://)
+    # instead of the cluster default FS
+    scheme = (keys_path.split("://", 1)[0] + "://"
+              if "://" in keys_path else "")
+    spark_paths = [scheme + p for p in old]
+    (spark.read.parquet(*spark_paths).distinct()
      .write.mode("append")
      .option("compression", "none")
      .option("parquet.enable.dictionary", "false")
