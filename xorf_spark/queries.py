@@ -1753,6 +1753,7 @@ _GATE_ORDER = [
     "hll_shingle_distinct",      # HLL family: hll_distinct (shingle keys)
     "lm_quality",                # text-quality family: text_quality
     "mixture_sample",            # sampling family: deterministic_sample
+    "theta_set_ops",             # sketch set-ops family: hll_set_ops
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and

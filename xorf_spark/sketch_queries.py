@@ -290,6 +290,50 @@ FROM sh
 """
 
 
+def q_theta_set_ops(spark, sf_dir):
+    """Theta (bottom-k/KMV) set algebra over the same two corpus slices as
+    hll_set_ops — the set-operation twin that exists for exactly this
+    data shape: the true src0∩src1 shingle overlap is TINY (2–206 across
+    the SFs) while the union is thousands, so HLL inclusion-exclusion
+    error (scales with |A|+|B|+|A∪B|) would drown it, whereas theta's
+    direct sample-overlap estimate carries the sampling bound
+    4·sqrt(n∩/θ) + 3 — scaling with the intersection itself. Emits the
+    exact cardinalities (SQL-reproducible, same oracle text as
+    hll_set_ops) plus booleans asserting the union 4σ law
+    (σ = 1/sqrt(k-2)) and the intersection sampling bound."""
+    docs = _load(spark, sf_dir, "documents")
+    starts4 = shingle_starts_sql("split(text, ' ')", 4)
+    sh = docs.where(F.col("source").isin("src0", "src1")).select(
+        "source",
+        F.explode(F.expr(
+            f"transform({starts4}, "
+            "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+        )).alias("shingle"))
+    sh = sh.cache()
+    keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
+    ta = S.sketch_agg(keyed.where(F.col("source") == "src0"), "key",
+                      "theta", {"k": 1024})
+    tb = S.sketch_agg(keyed.where(F.col("source") == "src1"), "key",
+                      "theta", {"k": 1024})
+    est_u = ta.union(tb).estimate()
+    est_i = S.Theta.intersection_estimate(ta, tb)
+    theta = min(ta.theta(), tb.theta())
+    rel4 = 4 * ta.rel_error()
+    exact = (sh.groupBy().agg(
+        F.countDistinct(F.when(F.col("source") == "src0",
+                               F.col("shingle"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("source") == "src1",
+                               F.col("shingle"))).alias("n_b"),
+        F.countDistinct("shingle").alias("n_union")))
+    n_int = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    return exact.select(
+        "n_a", "n_b", "n_union", n_int.alias("n_intersect"),
+        (F.abs(F.lit(est_u) - F.col("n_union"))
+         <= rel4 * F.col("n_union") + 3).alias("union_ok"),
+        (F.abs(F.lit(est_i) - n_int)
+         <= 4 * F.sqrt(n_int / F.lit(theta)) + 3).alias("intersect_ok"))
+
+
 def q_mg_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters over corpus words, keyed by the portable
     md5-derived word hash (bit-identical in Spark and DuckDB). The Spark
@@ -430,6 +474,9 @@ def registry() -> dict[str, tuple]:
         "kll_quantiles": (q_kll_quantiles, _ORACLE_QUANTILES),
         "mg_heavy_hitters": (q_mg_heavy_hitters, ORACLE_MG_HEAVY_HITTERS),
         "hll_set_ops": (q_hll_set_ops, ORACLE_HLL_SET_OPS),
+        # same exact-cardinality columns + literal booleans, so the oracle
+        # text is shared; the booleans assert theta's own (tighter) laws
+        "theta_set_ops": (q_theta_set_ops, ORACLE_HLL_SET_OPS),
         "mg_group_top_word": (q_mg_group_top_word, ORACLE_MG_GROUP_TOP_WORD),
         "sketch_merge_assoc": (q_sketch_merge_assoc,
                                ORACLE_SKETCH_MERGE_ASSOC),

@@ -1,5 +1,5 @@
-"""Mergeable sketch library: HLL, Count-Min, Bloom, KLL, t-digest, and
-Misra-Gries heavy hitters as distributed Spark UDAF-style aggregations
+"""Mergeable sketch library: HLL, Count-Min, Bloom, KLL, t-digest, theta
+(bottom-k/KMV) and Misra-Gries heavy hitters as distributed Spark UDAF-style aggregations
 (north-star extension of the reference filter family)."""
 
 from .dataflow import (
@@ -25,12 +25,13 @@ from .kernels import (
     HyperLogLog,
     MisraGries,
     TDigest,
+    Theta,
     make_sketch,
     sketch_from_bytes,
 )
 
 __all__ = [
-    "Bloom", "CountMin", "HyperLogLog", "KLL", "TDigest", "MisraGries",
+    "Bloom", "CountMin", "HyperLogLog", "KLL", "TDigest", "MisraGries", "Theta",
     "KEYED_KINDS", "SKETCH_KINDS", "PARTIAL_SCHEMA",
     "make_sketch", "sketch_from_bytes",
     "partial_sketches", "tree_merge", "sketch_agg", "sketch_agg_staged", "grouped_sketch",

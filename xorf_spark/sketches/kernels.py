@@ -608,6 +608,104 @@ class TDigest:
 # Misra-Gries (heavy hitters / frequent items)
 # ---------------------------------------------------------------------------
 
+class Theta:
+    """Bottom-k / KMV theta sketch over 64-bit hashed keys (Bar-Yossef et
+    al. 2002 KMV; Dasgupta, Lang, Rhodes, Thaler 2016 — the DataSketches
+    theta family): retain the ``k`` smallest DISTINCT hash values;
+    treating hashes as uniform samples of (0,1], θ = the k-th order
+    statistic and the distinct estimate is (k-1)/θ (exact below k).
+
+    Merge = multiset union of the retained sets trimmed back to the k
+    smallest — associative, commutative, idempotent, and a pure function
+    of the underlying key set, so distributed state is byte-identical to
+    a local build under any partitioning/fold order (same law the tests
+    pin for HLL).
+
+    Why alongside HLL: theta sketches support SET OPERATIONS with error
+    that scales with the RESULT size — ``intersection_estimate`` counts
+    retained sample overlap below min(θ_a, θ_b) — where HLL's
+    inclusion-exclusion error scales with the UNION size and drowns
+    small intersections. ``rel_error`` = 1/sqrt(k-2) (KMV unbiased
+    estimator's coefficient of variation)."""
+
+    KIND = "theta"
+
+    def __init__(self, k: int = 4096, keys: np.ndarray | None = None):
+        if k < 16:
+            raise ValueError("theta sketch needs k >= 16")
+        self.k = k
+        self.keys = (np.asarray(keys, dtype=np.uint64)
+                     if keys is not None
+                     else np.empty(0, dtype=np.uint64))
+
+    def _trim(self, merged: np.ndarray) -> "Theta":
+        merged = np.unique(merged)           # sorted + distinct
+        self.keys = merged[:self.k]
+        return self
+
+    def add_hashes(self, keys: np.ndarray) -> "Theta":
+        h = _as_u64(keys)
+        if h.size == 0:
+            return self
+        return self._trim(np.concatenate([self.keys, h]))
+
+    def merge(self, other: "Theta") -> "Theta":
+        if other.k != self.k:
+            raise ValueError(f"theta k mismatch: {self.k} vs {other.k}")
+        return self._trim(np.concatenate([self.keys, other.keys]))
+
+    def _theta(self) -> float:
+        """k-th order statistic mapped to (0, 1] (hash h represents the
+        uniform draw (h+1)/2^64, so θ > 0 even for h = 0)."""
+        return (float(self.keys[self.k - 1]) + 1.0) / 2.0 ** 64
+
+    def theta(self) -> float:
+        """Effective sampling probability: 1.0 while everything is
+        retained (exact regime), else the k-th order statistic."""
+        return self._theta() if self.keys.size >= self.k else 1.0
+
+    def estimate(self) -> float:
+        if self.keys.size < self.k:          # everything retained: exact
+            return float(self.keys.size)
+        return (self.k - 1) / self._theta()
+
+    def union(self, other: "Theta") -> "Theta":
+        return Theta(k=self.k, keys=self.keys.copy()).merge(other)
+
+    @staticmethod
+    def intersection_estimate(a: "Theta", b: "Theta") -> float:
+        """Direct sample-overlap intersection: both retained sets are
+        uniform samples of their key sets below their θ; below
+        θ = min(θ_a, θ_b) a hash is retained by BOTH sketches iff it is
+        in both key sets, so |A∩B| ≈ |overlap below θ| / θ. Error scales
+        with the intersection, not the union (the HLL caveat)."""
+        if a.k != b.k:
+            raise ValueError(f"theta k mismatch: {a.k} vs {b.k}")
+        # integer cut (hash h represents draw (h+1)/2^64): float θ·2^64
+        # would be off by ~2^10 ulps at the top of the range
+        ca = int(a.keys[a.k - 1]) + 1 if a.keys.size >= a.k else 1 << 64
+        cb = int(b.keys[b.k - 1]) + 1 if b.keys.size >= b.k else 1 << 64
+        cut = min(ca, cb)
+        theta = cut / 2.0 ** 64
+        if cut < 1 << 64:
+            c64 = np.uint64(cut)
+            av, bv = a.keys[a.keys < c64], b.keys[b.keys < c64]
+        else:
+            av, bv = a.keys, b.keys
+        return float(np.intersect1d(av, bv).size) / theta
+
+    def rel_error(self) -> float:
+        return 1.0 / math.sqrt(self.k - 2)
+
+    def to_bytes(self) -> bytes:
+        return _pack(self.KIND, {"k": self.k}, [self.keys])
+
+    @classmethod
+    def _from(cls, head: dict, bufs: list[bytes]) -> "Theta":
+        keys = np.frombuffer(bufs[0], dtype=np.uint64).copy()
+        return cls(k=head["k"], keys=keys)
+
+
 class MisraGries:
     """Misra-Gries frequent-items summary over 64-bit keys — batched,
     weighted, and mergeable (SpaceSaving-equivalent).
@@ -742,10 +840,10 @@ class MisraGries:
 # ---------------------------------------------------------------------------
 
 _CLASSES = {c.KIND: c for c in (HyperLogLog, CountMin, Bloom, KLL, TDigest,
-                                MisraGries)}
+                                MisraGries, Theta)}
 SKETCH_KINDS = tuple(_CLASSES)
 #: kinds that consume 64-bit hashed keys (vs float64 values)
-KEYED_KINDS = ("hll", "cms", "bloom", "mg")
+KEYED_KINDS = ("hll", "cms", "bloom", "mg", "theta")
 
 
 def make_sketch(kind: str, **params):
