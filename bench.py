@@ -100,6 +100,11 @@ def main() -> None:
     timings["sketch_hll_staged"] = round(secs, 3)
     hll_staged_rate = n_keys / secs
 
+    secs, _ = best_of(
+        lambda: S.sketch_agg(keys, "key", "theta", {"k": 4096}).estimate())
+    timings["sketch_theta"] = round(secs, 3)
+    theta_rate = n_keys / secs
+
     vals = spark.range(n_keys // 4).select(
         (F.col("id") % 1_000_000).cast("double").alias("v"))
     secs, _ = best_of(
@@ -234,6 +239,7 @@ def main() -> None:
             "token_pipeline_distinct_shingles": int(shingle_keys_built),
             "hll_agg_keys_per_sec": round(hll_rate),
             "hll_agg_staged_keys_per_sec": round(hll_staged_rate),
+            "theta_agg_keys_per_sec": round(theta_rate),
             "tdigest_agg_values_per_sec": round(tdigest_rate),
         },
     }))

@@ -645,6 +645,13 @@ class Theta:
 
     def add_hashes(self, keys: np.ndarray) -> "Theta":
         h = _as_u64(keys)
+        if self.keys.size >= self.k:
+            # saturated: anything ≥ the current k-th smallest either
+            # duplicates it or cannot displace anything — dropping it
+            # before the sort is a pure no-op on the retained SET (state
+            # stays byte-identical), and turns the per-batch cost into
+            # O(batch) once the sketch is warm
+            h = h[h < self.keys[self.k - 1]]
         if h.size == 0:
             return self
         return self._trim(np.concatenate([self.keys, h]))
