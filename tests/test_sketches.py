@@ -725,6 +725,20 @@ def test_streaming_windowed_cms_and_bloom(spark, tmp_path):
         folded[r.group] = max(folded.get(r.group, 0.0), r.distinct_est)
     assert {g: int(v) for g, v in folded.items()} == exact
 
+    # theta: headline is the distinct estimate; with k above the per-group
+    # cardinality the sketch is in its exact regime, so the streamed fold
+    # must land exactly on the batch distinct counts
+    out = stream_windowed_sketch(stream, "key", "grp", "theta",
+                                 {"k": 32_768})
+    q = (out.writeStream.format("memory").queryName("theta_win")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    th = {}
+    for r in spark.sql("select * from theta_win").collect():
+        th[r.group] = max(th.get(r.group, 0.0), r.distinct_est)
+    assert {g: int(v) for g, v in th.items()} == exact
+
 
 def test_hll_union_and_intersection_estimate():
     """union is lossless (== build over concatenation, byte-exact and

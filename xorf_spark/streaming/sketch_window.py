@@ -62,7 +62,7 @@ def _interval_ms(spec: str | int) -> int:
 
 
 def _headline(kind: str, sk) -> float:
-    if kind == "hll":
+    if kind in ("hll", "theta"):
         return float(sk.estimate())
     if kind == "cms":
         return float(sk.total)
