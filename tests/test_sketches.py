@@ -367,6 +367,20 @@ def test_grouped_hll_estimates(spark, keyed_df):
         assert abs(r.estimate - exact[r.grp]) / exact[r.grp] < 4 * 1.04 / 64
 
 
+def test_grouped_theta_estimates(spark, keyed_df):
+    """r4 review regression: the batch _headline must know theta (it
+    crashed with AttributeError when only the streaming twin was
+    extended — the two now share one definition)."""
+    rows = grouped_sketch(keyed_df, ["grp"], "key", "theta",
+                          {"k": 2048}).collect()
+    exact = {r.grp: r.c for r in keyed_df.groupBy("grp")
+             .agg(F.countDistinct("key").alias("c")).collect()}
+    assert len(rows) == 4
+    for r in rows:
+        bound = 4 / (2048 - 2) ** 0.5 * exact[r.grp] + 3
+        assert abs(r.estimate - exact[r.grp]) <= bound
+
+
 def test_grouped_sketch_two_phase_matches_single_phase(spark, keyed_df):
     """The map-side-combine grouped path (no group ever materializes whole)
     must produce byte-identical keyed-sketch state to the single-phase

@@ -213,12 +213,15 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     hashing together) before the quadratic bucket join — same declared
     skew control as ``lsh_candidate_pairs``; a dropped bucket is an
     all-near-dups cluster better collapsed by exact dedup upstream. The
-    default is OCCUPANCY-RELATIVE — ``max(1024, 16 × n/2^n_planes)``,
-    i.e. 16× the average bucket — so only genuinely degenerate buckets
-    are dropped; an absolute default would silently filter EVERY bucket
-    (total recall loss) once normal occupancy outgrew it at corpus
-    scale. Pass an explicit int to override, or a huge value to disable.
-    """
+    default is OCCUPANCY-RELATIVE with an absolute ceiling —
+    ``max(1024, min(16 × n/2^n_planes, 32768))``: 16× the average bucket
+    so only genuinely degenerate buckets are dropped (an absolute-only
+    default would silently filter EVERY bucket — total recall loss —
+    once normal occupancy outgrew it), while the ceiling bounds the
+    bucket join's quadratic worst case (a near-threshold boilerplate
+    cluster costs ≤ max_bucket² ≈ 1e9 comparisons per bucket, spread
+    across tasks). The default path runs one extra ``count()`` over the
+    corpus; pass an explicit int to skip it or to re-tune the trade."""
     head = corpus.select(vec_col).first()
     if head is None or head[0] is None:
         raise ValueError(
@@ -227,7 +230,8 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     dim = len(head[0])
     if max_bucket is None:
         n_rows = corpus.count()
-        max_bucket = max(1024, 16 * -(-n_rows // (1 << n_planes)))
+        max_bucket = max(1024,
+                         min(16 * -(-n_rows // (1 << n_planes)), 32_768))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     keys = [_signature("e", _hyperplanes(dim, n_planes, t, seed))
             + F.lit(t << n_planes) for t in range(n_tables)]

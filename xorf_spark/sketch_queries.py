@@ -227,6 +227,31 @@ ORACLE_TDIGEST_GROUP_QUANTILES = ("SELECT source, TRUE AS rank_ok "
                                   "ORDER BY source")
 
 
+def _src01_shingle_sets(spark, sf_dir):
+    """Shared slice for the two set-operation queries (hll_set_ops /
+    theta_set_ops, which also share their oracle text): the 4-word
+    shingle stream of src0 vs src1 (cached — each query runs two sketch
+    passes plus the exact aggregate over it), the xxhash64-keyed frame,
+    and the exact-cardinality aggregate. ONE definition keeps both
+    queries and the shared SQL oracle in lockstep."""
+    docs = _load(spark, sf_dir, "documents")
+    starts4 = shingle_starts_sql("split(text, ' ')", 4)
+    sh = docs.where(F.col("source").isin("src0", "src1")).select(
+        "source",
+        F.explode(F.expr(
+            f"transform({starts4}, "
+            "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+        )).alias("shingle")).cache()
+    keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
+    exact = (sh.groupBy().agg(
+        F.countDistinct(F.when(F.col("source") == "src0",
+                               F.col("shingle"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("source") == "src1",
+                               F.col("shingle"))).alias("n_b"),
+        F.countDistinct("shingle").alias("n_union")))
+    return keyed, exact
+
+
 def q_hll_set_ops(spark, sf_dir):
     """HLL set algebra across two corpus slices: distinct 4-word shingle
     sets of src0 vs src1, union via the lossless register-max merge and
@@ -235,16 +260,7 @@ def q_hll_set_ops(spark, sf_dir):
     union within 4σ (σ = 1.04/√m), intersection within 4σ·(|A|+|B|+|A∪B|)
     — the additive-error caveat documented on
     HyperLogLog.intersection_estimate."""
-    docs = _load(spark, sf_dir, "documents")
-    starts4 = shingle_starts_sql("split(text, ' ')", 4)
-    sh = docs.where(F.col("source").isin("src0", "src1")).select(
-        "source",
-        F.explode(F.expr(
-            f"transform({starts4}, "
-            "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-        )).alias("shingle"))
-    sh = sh.cache()   # three consumers below: two sketch passes + exact
-    keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
+    keyed, exact = _src01_shingle_sets(spark, sf_dir)
     ha = S.sketch_agg(keyed.where(F.col("source") == "src0"), "key", "hll",
                       {"p": 14})
     hb = S.sketch_agg(keyed.where(F.col("source") == "src1"), "key", "hll",
@@ -253,12 +269,6 @@ def q_hll_set_ops(spark, sf_dir):
     est_u = u.estimate()
     est_i = ha.estimate() + hb.estimate() - est_u
     rel4 = 4 * ha.rel_error()
-    exact = (sh.groupBy().agg(
-        F.countDistinct(F.when(F.col("source") == "src0",
-                               F.col("shingle"))).alias("n_a"),
-        F.countDistinct(F.when(F.col("source") == "src1",
-                               F.col("shingle"))).alias("n_b"),
-        F.countDistinct("shingle").alias("n_union")))
     return exact.select(
         "n_a", "n_b", "n_union",
         (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_intersect"),
@@ -301,16 +311,7 @@ def q_theta_set_ops(spark, sf_dir):
     exact cardinalities (SQL-reproducible, same oracle text as
     hll_set_ops) plus booleans asserting the union 4σ law
     (σ = 1/sqrt(k-2)) and the intersection sampling bound."""
-    docs = _load(spark, sf_dir, "documents")
-    starts4 = shingle_starts_sql("split(text, ' ')", 4)
-    sh = docs.where(F.col("source").isin("src0", "src1")).select(
-        "source",
-        F.explode(F.expr(
-            f"transform({starts4}, "
-            "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-        )).alias("shingle"))
-    sh = sh.cache()
-    keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
+    keyed, exact = _src01_shingle_sets(spark, sf_dir)
     ta = S.sketch_agg(keyed.where(F.col("source") == "src0"), "key",
                       "theta", {"k": 1024})
     tb = S.sketch_agg(keyed.where(F.col("source") == "src1"), "key",
@@ -319,12 +320,6 @@ def q_theta_set_ops(spark, sf_dir):
     est_i = S.Theta.intersection_estimate(ta, tb)
     theta = min(ta.theta(), tb.theta())
     rel4 = 4 * ta.rel_error()
-    exact = (sh.groupBy().agg(
-        F.countDistinct(F.when(F.col("source") == "src0",
-                               F.col("shingle"))).alias("n_a"),
-        F.countDistinct(F.when(F.col("source") == "src1",
-                               F.col("shingle"))).alias("n_b"),
-        F.countDistinct("shingle").alias("n_union")))
     n_int = F.col("n_a") + F.col("n_b") - F.col("n_union")
     return exact.select(
         "n_a", "n_b", "n_union", n_int.alias("n_intersect"),

@@ -278,8 +278,12 @@ def sketch_agg_staged(df: DataFrame, col: str, kind: str, stage_dir: str,
 # ---------------------------------------------------------------------------
 
 def _headline(kind: str, sk) -> float:
-    if kind == "hll":
-        return sk.estimate()
+    """The kind's one-number summary. Shared with streaming
+    (sketch_window imports THIS function) so a new kind can never be
+    wired into one dataflow and silently crash the other — the r4 review
+    caught exactly that divergence when theta landed."""
+    if kind in ("hll", "theta"):
+        return float(sk.estimate())
     if kind == "cms":
         return float(sk.total)
     if kind == "bloom":

@@ -634,7 +634,13 @@ class Theta:
         if k < 16:
             raise ValueError("theta sketch needs k >= 16")
         self.k = k
-        self.keys = (np.asarray(keys, dtype=np.uint64)
+        # normalize to the class invariant every method assumes
+        # (sorted-distinct, ≤ k): a caller-supplied unsorted/oversized
+        # array would make keys[k-1] not the k-th order statistic and
+        # silently corrupt the estimator and the saturation pre-filter.
+        # No-op (cheap) for the _from fast path, which is already
+        # sorted-distinct-trimmed.
+        self.keys = (np.unique(np.asarray(keys, dtype=np.uint64))[:k]
                      if keys is not None
                      else np.empty(0, dtype=np.uint64))
 

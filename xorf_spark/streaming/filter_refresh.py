@@ -148,12 +148,18 @@ def compact_key_log(spark: SparkSession, table_path: str) -> int:
            if f.is_file and f.base_name.endswith(".parquet")]
     if not old:
         return 0
-    # pyarrow strips the URI scheme from listed paths; re-attach it so
-    # spark resolves them against the right filesystem (s3://, hdfs://)
-    # instead of the cluster default FS
-    scheme = (keys_path.split("://", 1)[0] + "://"
-              if "://" in keys_path else "")
-    spark_paths = [scheme + p for p in old]
+    # pyarrow strips the URI scheme AND authority from listed paths;
+    # re-attach the full scheme://authority prefix so spark resolves them
+    # against the right filesystem (s3://bucket, hdfs://nn:8020) instead
+    # of the cluster default FS — scheme alone ('hdfs:///path') would
+    # still hit fs.defaultFS
+    prefix = ""
+    if "://" in keys_path:
+        if not keys_path.endswith(base):
+            raise ValueError(
+                f"cannot split {keys_path!r} into authority + {base!r}")
+        prefix = keys_path[:len(keys_path) - len(base)]
+    spark_paths = [prefix + p for p in old]
     (spark.read.parquet(*spark_paths).distinct()
      .write.mode("append")
      .option("compression", "none")

@@ -61,14 +61,9 @@ def _interval_ms(spec: str | int) -> int:
     return int(n) * _UNIT_MS[unit]
 
 
-def _headline(kind: str, sk) -> float:
-    if kind in ("hll", "theta"):
-        return float(sk.estimate())
-    if kind == "cms":
-        return float(sk.total)
-    if kind == "bloom":
-        return float(sk.n_added)
-    return float(sk.n)  # mg: total weight folded so far
+# one summary-number definition for batch AND streaming — a new kind
+# added in one place is automatically correct in the other
+from ..sketches.dataflow import _headline  # noqa: E402,F401
 
 
 def _make_fold_fn(kind: str, params: dict, retention=None,
@@ -142,11 +137,13 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
                            retention: str | int | None = None,
                            watermark: str | None = None) -> DataFrame:
     """Generic keyed-sketch streaming window: any mergeable keyed sketch
-    (``hll`` | ``cms`` | ``bloom`` | ``mg``) folded per (group, event-time
-    window) micro-batch by micro-batch. The ``distinct_est`` output column
-    carries the kind's headline number (HLL estimate / CMS total weight /
-    Bloom keys added / MG weight folded — probe the running heavy-hitter
-    state itself via the state bytes);
+    (``hll`` | ``cms`` | ``bloom`` | ``mg`` | ``theta``) folded per
+    (group, event-time window) micro-batch by micro-batch. The
+    ``distinct_est`` output column carries the kind's headline number
+    (HLL/theta estimate / CMS total weight / Bloom keys added / MG weight
+    folded — probe the running heavy-hitter state itself via the state
+    bytes; the definition is shared with the batch dataflow's
+    ``_headline``);
     the full running state rides the state store as the
     sketch's canonical bytes, so a snapshot at any micro-batch equals a
     batch build over the same prefix of the stream (merge-law invariance).
