@@ -1156,3 +1156,54 @@ def test_contamination_report_planted_pairs(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.train_doc_id, r.eval_doc_id, r.n_shared) == (1, 100, 2)
+
+
+# --- one-pass table profile --------------------------------------------------
+
+def test_profile_table_exact_fields_and_bounds(spark):
+    from xorf_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(float(i % 100), "v%d" % (i % 7) if i % 10 else None)
+         for i in range(10_000)],
+        "x double, s string").repartition(8)
+    prof = {r.column: r for r in profile_table(df).collect()}
+    # exact fields are exact
+    assert prof["x"].n_vals == 10_000 and prof["x"].n_nulls == 0
+    assert prof["s"].n_nulls == 1_000 and prof["s"].n_vals == 9_000
+    assert prof["x"].vmin == 0.0 and prof["x"].vmax == 99.0
+    assert prof["s"].vmin is None and prof["s"].p50 is None
+    # sketched fields within bounds
+    assert abs(prof["x"].distinct_est - 100) <= 4 * 1.04 / 90.5 * 100 + 3
+    assert abs(prof["s"].distinct_est - 7) <= 3
+    assert abs(prof["x"].p50 - 49.0) <= 3.0
+    # MG top-value estimate obeys est <= true (law) on the 7-value column
+    true_top = 9_000 - 6 * 1_286  # value v0 hit most often
+    assert prof["s"].top_value_est <= max(true_top, 9_000 / 7 + 1)
+
+
+def test_profile_table_partitioning_invariant(spark):
+    """Exact fields and HLL state are partitioning-independent; the
+    profile of the same data under different partitionings agrees on
+    every exact field and keeps sketch fields within bound."""
+    from xorf_spark.operators.profile import profile_table
+
+    base = spark.range(5_000).select(
+        (F.col("id") % 500).cast("double").alias("x"))
+    a = {r.column: r for r in profile_table(base.repartition(2)).collect()}
+    b = {r.column: r for r in profile_table(base.repartition(16)).collect()}
+    assert (a["x"].n_vals, a["x"].n_nulls, a["x"].vmin, a["x"].vmax) == \
+        (b["x"].n_vals, b["x"].n_nulls, b["x"].vmin, b["x"].vmax)
+    # HLL merge law: identical estimate (byte-identical state) either way
+    assert a["x"].distinct_est == b["x"].distinct_est
+
+
+def test_profile_table_empty_frame(spark):
+    from xorf_spark.operators.profile import profile_table
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    rows = profile_table(empty).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_vals == 0 and r.n_nulls == 0 and r.distinct_est == 0.0
+    assert r.p50 is None and r.vmin is None

@@ -1067,6 +1067,68 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass sketch profile of three lineitem columns (numeric id,
+    numeric low-cardinality, categorical): a single mapInArrow scan folds
+    HLL + KLL + Misra-Gries + exact null/min/max per column
+    (operators/profile.py — the 'profile 100 TB in one read' composition
+    of the sketch library). Emits the EXACT fields (value counts, nulls,
+    distinct, min/max — SQL-reproducible) plus booleans asserting the
+    sketch laws: HLL within 4σ (σ = 1.04/√2¹³), KLL p50 within 0.05
+    rank error (checked against the actual data, not the oracle)."""
+    from .operators.profile import profile_table
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    prof = {r.column: r for r in profile_table(li, cols, hll_p=13).collect()}
+    exact = li.agg(*[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
+    rel4 = 4 * 1.04 / (1 << 13) ** 0.5
+    rows = []
+    for c in cols:
+        p = prof[c]
+        n_distinct = int(exact[c])
+        distinct_ok = abs(p.distinct_est - n_distinct) <= \
+            rel4 * n_distinct + 3
+        if p.is_numeric:
+            rank = (li.where(F.col(c) <= F.lit(p.p50)).count()
+                    / max(p.n_vals, 1))
+            p50_ok = abs(rank - 0.5) <= 0.05
+        else:
+            p50_ok = True
+        rows.append((c, p.n_vals, p.n_nulls, n_distinct, p.vmin, p.vmax,
+                     bool(distinct_ok), bool(p50_ok)))
+    return spark.createDataFrame(
+        rows, "col_name string, n_vals long, n_nulls long, "
+              "n_distinct long, vmin double, vmax double, "
+              "distinct_ok boolean, p50_ok boolean").orderBy("col_name")
+
+
+ORACLE_TABLE_PROFILE = """
+SELECT 'l_orderkey' AS col_name,
+       CAST(count(l_orderkey) AS BIGINT) AS n_vals,
+       CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(l_orderkey) AS DOUBLE) AS vmin,
+       CAST(max(l_orderkey) AS DOUBLE) AS vmax,
+       TRUE AS distinct_ok, TRUE AS p50_ok
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT),
+       CAST(count(*) - count(l_quantity) AS BIGINT),
+       CAST(count(DISTINCT l_quantity) AS BIGINT),
+       CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+       TRUE, TRUE
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT),
+       CAST(count(*) - count(l_returnflag) AS BIGINT),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       NULL, NULL, TRUE, TRUE
+FROM lineitem
+ORDER BY col_name
+"""
+
+
 #: Dyadic target mixture (sums to exactly 1.0 in binary) so the in-plan
 #: rate arithmetic is bit-identical between Spark and the oracle.
 MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125,
@@ -1754,6 +1816,7 @@ _GATE_ORDER = [
     "lm_quality",                # text-quality family: text_quality
     "mixture_sample",            # sampling family: deterministic_sample
     "theta_set_ops",             # sketch set-ops family: hll_set_ops
+    "table_profile",             # sketch composition: hll/kll/mg families
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -1794,6 +1857,7 @@ def registry() -> dict[str, tuple]:
                                  ORACLE_DETERMINISTIC_SAMPLE),
         "lm_quality": (q_lm_quality, ORACLE_LM_QUALITY),
         "mixture_sample": (q_mixture_sample, ORACLE_MIXTURE_SAMPLE),
+        "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
         "lang_id": (q_lang_id, ORACLE_LANG_ID),
         "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
         "vocab_topk": (q_vocab_topk, ORACLE_VOCAB_TOPK),
