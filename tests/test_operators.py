@@ -1207,3 +1207,31 @@ def test_profile_table_empty_frame(spark):
     r = rows[0]
     assert r.n_vals == 0 and r.n_nulls == 0 and r.distinct_est == 0.0
     assert r.p50 is None and r.vmin is None
+
+
+def test_profile_table_nan_and_bigint_semantics(spark):
+    """r4 review regressions: (a) NaN counts as a value but never
+    poisons min/max or quantiles (and an all-NaN column yields None, not
+    NaN); (b) int64 min/max beyond double's 2^53 integer range stay
+    exact in the ivmin/ivmax fields."""
+    import math
+
+    from xorf_spark.operators.profile import profile_table
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0, nan), (nan, nan), (5.0, nan), (2.0, nan)],
+        "x double, allnan double")
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["x"].vmin == 1.0 and prof["x"].vmax == 5.0
+    assert prof["x"].n_vals == 4          # NaN is a value for counts
+    assert prof["x"].p50 is not None and not math.isnan(prof["x"].p50)
+    assert prof["allnan"].p50 is None     # None convention, not NaN
+    assert prof["allnan"].vmin is None
+    assert prof["allnan"].n_vals == 4
+
+    big = 1 << 53
+    dfi = spark.createDataFrame([(big,), (big + 1,)], "k long")
+    p = {r.column: r for r in profile_table(dfi).collect()}["k"]
+    assert p.ivmin == big and p.ivmax == big + 1   # exact, not rounded
+    assert p.n_vals == 2

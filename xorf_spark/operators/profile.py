@@ -6,18 +6,31 @@ The 100 TB story: profiling with exact operators costs one shuffle per
 statistic per column (``countDistinct`` + ``percentile`` + ``GROUP BY``
 each scan or exchange the data again); this pass reads the table once,
 keeps one small sketch set per (partition, column) in the worker, and
-ships only KB-sized partial rows to the driver, where the mergeable-
-sketch laws (`sketches/kernels.py`) make the fold exact w.r.t. each
-sketch's published bound. Column pruning still applies — only the
-profiled columns cross the Arrow boundary, pre-hashed JVM-side
-(``xxhash64``) so no raw string ever needs hashing in Python.
+reduces the partials DISTRIBUTED — a ``groupBy(column)`` merge task per
+column consumes the KB-sized partial rows, so the driver only ever
+collects one row per column (never #partitions × #columns sketch
+payloads). Column pruning still applies — only the profiled columns
+cross the Arrow boundary, pre-hashed JVM-side (``xxhash64``) so no raw
+string ever needs hashing in Python.
+
+Semantics notes:
+
+- NaN counts as a *value* for ``n_vals`` / the distinct estimate (SQL
+  ``count`` semantics) but is excluded from min/max and quantiles (the
+  order statistics, matching ``min``/``max``/``percentile`` in SQL
+  engines) — and the result is partitioning-invariant either way.
+- Integer columns report EXACT ``ivmin``/``ivmax`` (int64 — beyond
+  double's 2⁵³ integer range the ``vmin``/``vmax`` doubles are the
+  nearest representable, so use the integer fields for id/key columns);
+  float columns report exact ``vmin``/``vmax`` doubles. Quantiles feed
+  through float64 and are approximate by KLL's published rank bound
+  regardless.
 """
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,29 +45,40 @@ from pyspark.sql.types import (
 
 from ..sketches.kernels import make_sketch, sketch_from_bytes
 
-_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType,
-            DoubleType)
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_NUMERIC = _INTEGRAL + (FloatType, DoubleType)
 
-#: one row per (input partition, profiled column)
+#: one row per (input partition, profiled column) — and, after the
+#: distributed reduce, one row per column
 PARTIAL_SCHEMA = ("column string, n_vals long, n_nulls long, "
                   "hll binary, mg binary, kll binary, "
-                  "vmin double, vmax double")
+                  "vmin double, vmax double, ivmin long, ivmax long")
 
 FINAL_SCHEMA = ("column string, is_numeric boolean, n_vals long, "
                 "n_nulls long, distinct_est double, top_value_est double, "
-                "p50 double, p95 double, vmin double, vmax double")
+                "p50 double, p95 double, vmin double, vmax double, "
+                "ivmin long, ivmax long")
+
+
+def _acc_min(cur, lo):
+    return lo if cur is None else min(cur, lo)
+
+
+def _acc_max(cur, hi):
+    return hi if cur is None else max(cur, hi)
 
 
 def profile_partials(df: DataFrame, columns: list[str] | None = None,
                      hll_p: int = 13, kll_k: int = 256,
                      mg_k: int = 64) -> DataFrame:
-    """The distributed half: one partial-profile row per (partition,
-    column). Numeric columns additionally carry a KLL sketch and exact
-    min/max; every column carries HLL (distinct over non-null values),
-    MG (heavy values, hashed) and exact null counts."""
+    """The map half: one partial-profile row per (partition, column).
+    Numeric columns additionally carry a KLL sketch and exact min/max;
+    every column carries HLL (distinct over non-null values), MG (heavy
+    values, hashed) and exact null counts."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns or fields)
     numeric = {c: isinstance(fields[c], _NUMERIC) for c in cols}
+    integral = {c: isinstance(fields[c], _INTEGRAL) for c in cols}
     proj = []
     for i, c in enumerate(cols):
         # xxhash64(NULL) returns the seed, not NULL — gate it so nulls
@@ -62,15 +86,18 @@ def profile_partials(df: DataFrame, columns: list[str] | None = None,
         proj.append(F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
                     .alias(f"h{i}"))
         if numeric[c]:
-            proj.append(F.col(c).cast("double").alias(f"v{i}"))
+            # integers stay integers (exact min/max beyond double's 2^53
+            # integer range); floats normalize to double
+            v = F.col(c) if integral[c] else F.col(c).cast("double")
+            proj.append(v.alias(f"v{i}"))
 
     def fold(batches):
-        t0 = time.time()  # noqa: F841  (kept for symmetry/debugging)
         acc = {c: {"hll": make_sketch("hll", p=hll_p),
                    "mg": make_sketch("mg", k=mg_k),
                    "kll": make_sketch("kll", k=kll_k) if numeric[c]
                    else None,
-                   "n": 0, "nulls": 0, "vmin": None, "vmax": None}
+                   "n": 0, "nulls": 0, "vmin": None, "vmax": None,
+                   "ivmin": None, "ivmax": None}
                for c in cols}
         seen = False
         for b in batches:
@@ -89,17 +116,30 @@ def profile_partials(df: DataFrame, columns: list[str] | None = None,
                 if numeric[c]:
                     v = (tb.column(f"v{i}").drop_null().combine_chunks()
                          .to_numpy(zero_copy_only=False))
-                    if v.size:
-                        a["kll"].add(v)
-                        lo, hi = float(np.min(v)), float(np.max(v))
-                        a["vmin"] = lo if a["vmin"] is None \
-                            else min(a["vmin"], lo)
-                        a["vmax"] = hi if a["vmax"] is None \
-                            else max(a["vmax"], hi)
+                    if integral[c]:
+                        v = v.astype(np.int64, copy=False)
+                        if v.size:
+                            a["ivmin"] = _acc_min(a["ivmin"],
+                                                  int(v.min()))
+                            a["ivmax"] = _acc_max(a["ivmax"],
+                                                  int(v.max()))
+                            a["kll"].add(v.astype(np.float64))
+                    else:
+                        # NaN is a value for counts but not an order
+                        # statistic; np.min would propagate it (and a
+                        # python min/max merge of NaN is order-dependent)
+                        v = v[~np.isnan(v)]
+                        if v.size:
+                            a["vmin"] = _acc_min(a["vmin"],
+                                                 float(np.min(v)))
+                            a["vmax"] = _acc_max(a["vmax"],
+                                                 float(np.max(v)))
+                            a["kll"].add(v)
         if not seen:
             return
         out = {"column": [], "n_vals": [], "n_nulls": [], "hll": [],
-               "mg": [], "kll": [], "vmin": [], "vmax": []}
+               "mg": [], "kll": [], "vmin": [], "vmax": [],
+               "ivmin": [], "ivmax": []}
         for c in cols:
             a = acc[c]
             out["column"].append(c)
@@ -110,9 +150,47 @@ def profile_partials(df: DataFrame, columns: list[str] | None = None,
             out["kll"].append(a["kll"].to_bytes() if a["kll"] else None)
             out["vmin"].append(a["vmin"])
             out["vmax"].append(a["vmax"])
+            out["ivmin"].append(a["ivmin"])
+            out["ivmax"].append(a["ivmax"])
         yield pa.RecordBatch.from_pydict(out)
 
     return df.select(*proj).mapInArrow(fold, PARTIAL_SCHEMA)
+
+
+def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Distributed reduce: fold all of one column's partial rows into a
+    single partial row (runs as one task per column — the driver never
+    sees more than one row per column)."""
+    hll = mg = kll = None
+    n = nulls = 0
+    vmin = vmax = ivmin = ivmax = None
+    for r in pdf.itertuples():
+        n += int(r.n_vals)
+        nulls += int(r.n_nulls)
+        for name, payload in (("hll", r.hll), ("mg", r.mg), ("kll", r.kll)):
+            if payload is None:
+                continue
+            sk = sketch_from_bytes(payload)
+            if name == "hll":
+                hll = sk if hll is None else hll.merge(sk)
+            elif name == "mg":
+                mg = sk if mg is None else mg.merge(sk)
+            else:
+                kll = sk if kll is None else kll.merge(sk)
+        if r.vmin is not None and not pd.isna(r.vmin):
+            vmin = _acc_min(vmin, float(r.vmin))
+        if r.vmax is not None and not pd.isna(r.vmax):
+            vmax = _acc_max(vmax, float(r.vmax))
+        if r.ivmin is not None and not pd.isna(r.ivmin):
+            ivmin = _acc_min(ivmin, int(r.ivmin))
+        if r.ivmax is not None and not pd.isna(r.ivmax):
+            ivmax = _acc_max(ivmax, int(r.ivmax))
+    return pd.DataFrame([{
+        "column": pdf["column"].iloc[0], "n_vals": n, "n_nulls": nulls,
+        "hll": hll.to_bytes() if hll else None,
+        "mg": mg.to_bytes() if mg else None,
+        "kll": kll.to_bytes() if kll else None,
+        "vmin": vmin, "vmax": vmax, "ivmin": ivmin, "ivmax": ivmax}])
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,
@@ -120,44 +198,40 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
                   mg_k: int = 64) -> DataFrame:
     """One-pass table profile. Returns one row per column:
     ``(column, is_numeric, n_vals, n_nulls, distinct_est, top_value_est,
-    p50, p95, vmin, vmax)`` — exact fields (counts, min/max) are exact;
-    sketched fields carry their kernels' published bounds. The driver
-    merge handles KB-sized partials only (#partitions × #columns rows)."""
+    p50, p95, vmin, vmax, ivmin, ivmax)`` — exact fields (counts,
+    min/max) are exact (integer min/max carried as int64); sketched
+    fields carry their kernels' published bounds."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = list(columns or fields)
     numeric = {c: isinstance(fields[c], _NUMERIC) for c in cols}
-    rows = profile_partials(df, cols, hll_p, kll_k, mg_k).collect()
-    merged: dict[str, dict] = {}
-    for r in rows:
-        m = merged.setdefault(r.column, {
-            "n": 0, "nulls": 0, "hll": None, "mg": None, "kll": None,
-            "vmin": None, "vmax": None})
-        m["n"] += r.n_vals
-        m["nulls"] += r.n_nulls
-        for key, payload in (("hll", r.hll), ("mg", r.mg), ("kll", r.kll)):
-            if payload is None:
-                continue
-            sk = sketch_from_bytes(payload)
-            m[key] = sk if m[key] is None else m[key].merge(sk)
-        if r.vmin is not None:
-            m["vmin"] = r.vmin if m["vmin"] is None \
-                else min(m["vmin"], r.vmin)
-        if r.vmax is not None:
-            m["vmax"] = r.vmax if m["vmax"] is None \
-                else max(m["vmax"], r.vmax)
+    merged = (profile_partials(df, cols, hll_p, kll_k, mg_k)
+              .groupBy("column")
+              .applyInPandas(_merge_partials, PARTIAL_SCHEMA)
+              .collect())
+    by_col = {r.column: r for r in merged}
     out = []
     for c in cols:
-        m = merged.get(c)
-        if m is None:   # empty input frame: no partial rows at all
-            m = {"n": 0, "nulls": 0, "hll": None, "mg": None, "kll": None,
-                 "vmin": None, "vmax": None}
-        top = (float(np.max(m["mg"].counts)) if m["mg"] is not None
-               and m["mg"].counts.size else 0.0)
-        if m["kll"] is not None and m["n"] > 0:
-            p50, p95 = (float(x) for x in m["kll"].quantiles([0.5, 0.95]))
+        r = by_col.get(c)
+        if r is None:   # empty input frame: no partial rows at all
+            out.append((c, numeric[c], 0, 0, 0.0, 0.0,
+                        None, None, None, None, None, None))
+            continue
+        hll = sketch_from_bytes(r.hll) if r.hll is not None else None
+        mg = sketch_from_bytes(r.mg) if r.mg is not None else None
+        kll = sketch_from_bytes(r.kll) if r.kll is not None else None
+        top = (float(np.max(mg.counts)) if mg is not None
+               and mg.counts.size else 0.0)
+        # gate on KLL's OWN count: NaN-only numeric columns have hashed
+        # values (n_vals > 0) but an empty KLL, and quantiles of an
+        # empty sketch must be None, not NaN
+        if kll is not None and kll.n > 0:
+            p50, p95 = (float(x) for x in kll.quantiles([0.5, 0.95]))
         else:
             p50 = p95 = None
-        out.append((c, numeric[c], m["n"], m["nulls"],
-                    float(m["hll"].estimate()) if m["hll"] else 0.0,
-                    top, p50, p95, m["vmin"], m["vmax"]))
+        vmin, vmax = r.vmin, r.vmax
+        if vmin is None and r.ivmin is not None:
+            vmin, vmax = float(r.ivmin), float(r.ivmax)
+        out.append((c, numeric[c], r.n_vals, r.n_nulls,
+                    float(hll.estimate()) if hll else 0.0,
+                    top, p50, p95, vmin, vmax, r.ivmin, r.ivmax))
     return df.sparkSession.createDataFrame(out, FINAL_SCHEMA)

@@ -1080,9 +1080,11 @@ def q_table_profile(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_quantity", "l_returnflag"]
-    prof = {r.column: r for r in profile_table(li, cols, hll_p=13).collect()}
+    hll_p = 13   # single source for the precision AND its 4-sigma bound
+    prof = {r.column: r
+            for r in profile_table(li, cols, hll_p=hll_p).collect()}
     exact = li.agg(*[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
-    rel4 = 4 * 1.04 / (1 << 13) ** 0.5
+    rel4 = 4 * 1.04 / (1 << hll_p) ** 0.5
     rows = []
     for c in cols:
         p = prof[c]
