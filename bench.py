@@ -60,7 +60,7 @@ def main() -> None:
         return out
 
     n_shards = 128
-    repeats = int(os.environ.get("XORF_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("XORF_BENCH_REPEATS", "3"))
     keys = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
 
     def best_of(fn, n=repeats):

@@ -217,3 +217,87 @@ def test_latest_version_empty_and_interval_parse(tmp_path):
         _interval_ms("fortnight")
     with pytest.raises(ValueError):
         _interval_ms("3 fortnights")
+
+
+def test_pointer_swap_atomic_under_racing_reader(tmp_path):
+    """A reader polling the pointer while a writer performs many swaps
+    (the exact tmp-write + rename + cur/prev prune sequence from
+    ``stream_filter_refresh``) never observes a torn state: no empty or
+    malformed pointer once the first swap lands, and the dir the pointer
+    names exists unless the reader lagged >= 2 generations (the
+    documented keep-current+predecessor retention window)."""
+    import re
+    import threading
+
+    from pyarrow import fs as pafs
+
+    from xorf_spark.streaming.filter_refresh import (
+        _fs, _pointer_path, pointer_versions)
+
+    base_dir = tmp_path / "tbl"
+    base_dir.mkdir()
+    table_path = str(base_dir)
+    fsys, base = _fs(table_path)
+    n_swaps = 200
+    stop = threading.Event()
+    bad: list[str] = []
+    gen_re = re.compile(r"g(\d+)b\d+")
+
+    def writer():
+        prev = None
+        for gen in range(n_swaps):
+            version = f"g{gen}b{gen}"
+            vdir = base_dir / version
+            vdir.mkdir()
+            (vdir / "_MARKER").write_text(version)
+            tmp = _pointer_path(base) + f".tmp-{gen}"
+            content = f"{version} {prev}" if prev else version
+            with fsys.open_output_stream(tmp) as fh:
+                fh.write(content.encode())
+            fsys.move(tmp, _pointer_path(base))
+            keep = {version, prev}
+            for info in fsys.get_file_info(pafs.FileSelector(base)):
+                if (info.type == pafs.FileType.Directory
+                        and gen_re.fullmatch(info.base_name)
+                        and info.base_name not in keep):
+                    fsys.delete_dir(f"{base}/{info.base_name}")
+            prev = version
+        stop.set()
+
+    def reader():
+        seen_first = False
+        while not stop.is_set():
+            cur, prv = pointer_versions(table_path)
+            if cur is None:
+                if seen_first:
+                    bad.append("pointer vanished after first swap")
+                continue
+            seen_first = True
+            m = gen_re.fullmatch(cur)
+            if not m:
+                bad.append(f"malformed pointer: {cur!r}")
+                continue
+            if prv is not None and not gen_re.fullmatch(prv):
+                bad.append(f"malformed predecessor: {prv!r}")
+            read_gen = int(m.group(1))
+            if not (base_dir / cur / "_MARKER").exists():
+                # only legal if the writer advanced >= 2 generations
+                # between our pointer read and this existence check
+                now, _ = pointer_versions(table_path)
+                now_gen = int(gen_re.fullmatch(now).group(1)) if now else -1
+                if now_gen < read_gen + 2:
+                    bad.append(
+                        f"current dir {cur} missing with writer at "
+                        f"{now} (no 2-generation lag)")
+
+    w = threading.Thread(target=writer)
+    r = threading.Thread(target=reader)
+    r.start(); w.start()
+    w.join(timeout=120); r.join(timeout=10)
+    assert not w.is_alive() and not r.is_alive()
+    assert bad == [], bad[:5]
+    # final state: pointer names the last version, predecessor retained
+    cur, prv = pointer_versions(table_path)
+    assert cur == f"g{n_swaps - 1}b{n_swaps - 1}"
+    assert prv == f"g{n_swaps - 2}b{n_swaps - 2}"
+    assert (base_dir / cur).is_dir() and (base_dir / prv).is_dir()
