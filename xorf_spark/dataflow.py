@@ -137,13 +137,21 @@ def doc_keys(df: DataFrame, cols: list[str] | str = "tokens",
 
 def shingle_keys(df: DataFrame, tokens_col: str = "tokens", k: int = 8,
                  key_col: str = "key") -> DataFrame:
-    """One key per k-token shingle (stride 1), fully Catalyst-side:
-    ``posexplode(transform(sequence(...), i -> xxhash64(slice(tokens, i, k))))``.
-    Documents shorter than k produce no shingles."""
+    """One key per k-token shingle (stride 1), fully Catalyst-side.
+    Documents shorter than k produce no shingles.
+
+    The per-position hash is ``xxhash64(tokens[i], …, tokens[i+k-1])`` —
+    k scalar array accesses per position instead of the earlier
+    ``xxhash64(slice(tokens, i, k))``, whose per-position k-element array
+    allocation made shingle derivation the token pipeline's dominant cost
+    (measured 7.6× slower at 54M shingles; BENCH/ROUND4_NOTES.md). Key
+    VALUES are an internal fingerprint (build and probe share this
+    definition); only determinism and uniformity are contractual."""
     n = F.size(F.col(tokens_col))
+    args = ", ".join(f"{tokens_col}[i+{j}]" for j in range(k))
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {k} + 1, 0)), "
-        f"i -> xxhash64(slice({tokens_col}, i, {k})))")
+        f"transform(sequence(0, size({tokens_col}) - {k}), "
+        f"i -> xxhash64({args}))")
     return (df
             .where(n >= k)
             .select("*", F.explode(shingles).alias(key_col)))

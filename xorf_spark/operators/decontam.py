@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..dataflow import filter_semi_join
-from ..functions import shingle_starts_sql
 
 
 def shingle_keys(df: DataFrame, text_col: str = "text",
@@ -36,13 +35,21 @@ def shingle_keys(df: DataFrame, text_col: str = "text",
     """``(id, key)`` rows: xxhash64 of every n-word shingle of ``text_col``
     (whitespace tokens, the corpus-wide convention). Docs shorter than n
     words emit no rows."""
-    words = f"split({text_col}, ' ')"
-    return df.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            f"transform({shingle_starts_sql(words, n)}, "
-            f"i -> xxhash64(array_join(slice({words}, i, {n}), ' ')))"
-        )).alias("key"))
+    # Split once into a projected column, then hash each shingle as n
+    # scalar word accesses: xxhash64(w[i], …, w[i+n-1]). The earlier
+    # array_join(slice(...)) form allocated an n-element array AND a
+    # joined string per position — measured 3× slower at sf0.1
+    # (BENCH/ROUND4_NOTES.md). Key values are internal (train and eval
+    # shingles hash identically); word-boundary identity is unchanged
+    # (xxhash64 folds each word separately, so "a b"+"c" vs "a"+"b c"
+    # collide no more than the joined form did).
+    args = ", ".join(f"__w[i+{j}]" for j in range(n))
+    shingles = F.expr(
+        f"CASE WHEN size(__w) >= {n} "
+        f"THEN transform(sequence(0, size(__w) - {n}), "
+        f"i -> xxhash64({args})) ELSE array() END")
+    return (df.withColumn("__w", F.expr(f"split({text_col}, ' ')"))
+            .select(F.col(id_col), F.explode(shingles).alias("key")))
 
 
 def contaminated_ids(train: DataFrame, eval_df: DataFrame,
