@@ -147,14 +147,13 @@ def shingle_keys(df: DataFrame, tokens_col: str = "tokens", k: int = 8,
     (measured 7.6× slower at 54M shingles; BENCH/ROUND4_NOTES.md). Key
     VALUES are an internal fingerprint (build and probe share this
     definition); only determinism and uniformity are contractual."""
+    from .functions import shingle_hashes_sql
+
     n = F.size(F.col(tokens_col))
-    args = ", ".join(f"{tokens_col}[i+{j}]" for j in range(k))
-    shingles = F.expr(
-        f"transform(sequence(0, size({tokens_col}) - {k}), "
-        f"i -> xxhash64({args}))")
     return (df
             .where(n >= k)
-            .select("*", F.explode(shingles).alias(key_col)))
+            .select("*", F.explode(
+                F.expr(shingle_hashes_sql(tokens_col, k))).alias(key_col)))
 
 
 def shard_id_col(key_col: str = "key", n_shards: int = 16) -> Column:

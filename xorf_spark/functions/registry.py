@@ -77,6 +77,26 @@ def shingle_starts_sql(arr: str, n: int) -> str:
             f"ELSE array() END")
 
 
+def shingle_hashes_sql(arr: str, n: int, seed: str | None = None) -> str:
+    """SQL fragment: one xxhash64 per n-element shingle of array expression
+    ``arr`` (stride 1), built from n SCALAR element accesses —
+    ``xxhash64(arr[i], …, arr[i+n-1])`` — instead of hashing a
+    ``slice()``: the per-position n-element array allocation made shingle
+    derivation the token pipeline's dominant cost (7.6× slower at 54M
+    shingles; BENCH/ROUND4_NOTES.md). EMPTY when the array is shorter
+    than n (same descending-``sequence`` guard as
+    :func:`shingle_starts_sql`). ``seed`` appends an extra hashed column
+    expression (e.g. a permutation index). Hash values are internal
+    fingerprints — deterministic and uniform, not portable to other
+    engines."""
+    args = ", ".join(f"{arr}[i+{j}]" for j in range(n))
+    if seed is not None:
+        args += f", {seed}"
+    return (f"CASE WHEN size({arr}) >= {n} "
+            f"THEN transform(sequence(0, size({arr}) - {n}), "
+            f"i -> xxhash64({args})) ELSE array() END")
+
+
 def md5long(col) -> Column:
     """Portable 60-bit integer hash (identical in Spark and DuckDB/ANSI SQL):
     first 15 hex digits of md5 as a bigint. Used wherever an oracle-checkable

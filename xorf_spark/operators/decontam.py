@@ -43,13 +43,11 @@ def shingle_keys(df: DataFrame, text_col: str = "text",
     # shingles hash identically); word-boundary identity is unchanged
     # (xxhash64 folds each word separately, so "a b"+"c" vs "a"+"b c"
     # collide no more than the joined form did).
-    args = ", ".join(f"__w[i+{j}]" for j in range(n))
-    shingles = F.expr(
-        f"CASE WHEN size(__w) >= {n} "
-        f"THEN transform(sequence(0, size(__w) - {n}), "
-        f"i -> xxhash64({args})) ELSE array() END")
+    from ..functions import shingle_hashes_sql
+
     return (df.withColumn("__w", F.expr(f"split({text_col}, ' ')"))
-            .select(F.col(id_col), F.explode(shingles).alias("key")))
+            .select(F.col(id_col), F.explode(
+                F.expr(shingle_hashes_sql("__w", n))).alias("key")))
 
 
 def contaminated_ids(train: DataFrame, eval_df: DataFrame,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import shingle_starts_sql
+from ..functions import shingle_hashes_sql
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | str,
@@ -72,12 +72,20 @@ def minhash_signatures(df: DataFrame, tokens_col: str = "tokens",
     column, entirely as Catalyst array lambdas (no explode, no shuffle):
     sig[i] = min over shingles s of xxhash64(s, i).
     """
-    starts = shingle_starts_sql(tokens_col, shingle)
-    shingles = (f"transform({starts}, "
-                f"j -> slice({tokens_col}, j, {shingle}))")
+    # Two-stage: hash every shingle ONCE to a 64-bit base fingerprint
+    # (scalar element accesses, no slice allocation — the same win as
+    # dataflow.shingle_keys), projected into a real column so Catalyst
+    # evaluates it once per row; each permutation then re-hashes the
+    # base longs, xxhash64(h, i). The earlier single expression hashed a
+    # token-slice ARRAY per (permutation, shingle) — measured 11.7×
+    # slower at num_perm=64, shingle=3, 20k synthetic docs
+    # (BENCH/ROUND4_NOTES.md "MinHash signature A/B").
+    base = shingle_hashes_sql(tokens_col, shingle)
     sig = (f"transform(sequence(0, {num_perm - 1}), "
-           f"i -> array_min(transform({shingles}, s -> xxhash64(s, i))))")
-    return df.withColumn(out_col, F.expr(sig))
+           f"i -> array_min(transform(__sh, h -> xxhash64(h, i))))")
+    return (df.withColumn("__sh", F.expr(base))
+            .withColumn(out_col, F.expr(sig))
+            .drop("__sh"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -131,9 +139,11 @@ def estimate_jaccard(sig_df: DataFrame, pairs: DataFrame,
 def exact_jaccard(df: DataFrame, pairs: DataFrame, tokens_col: str = "tokens",
                   id_col: str = "doc_id", shingle: int = 3) -> DataFrame:
     """Exact shingle-set jaccard for candidate pairs (verification stage)."""
-    shingles = F.array_distinct(F.expr(
-        f"transform({shingle_starts_sql(tokens_col, shingle)}, "
-        f"j -> slice({tokens_col}, j, {shingle}))"))
+    # shingle identity via 64-bit fingerprints (array_intersect/union on
+    # longs, not arrays-of-arrays; cross-shingle xxhash64 collision
+    # p ≈ n²/2⁶⁴ is the corpus-wide convention)
+    shingles = F.array_distinct(
+        F.expr(shingle_hashes_sql(tokens_col, shingle)))
     sa = df.select(F.col(id_col).alias("id_a"), shingles.alias("sh_a"))
     sb = df.select(F.col(id_col).alias("id_b"), shingles.alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
