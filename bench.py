@@ -207,6 +207,29 @@ def main() -> None:
     secs, _ = best_of(lambda: Q.q_curation_pipeline(spark, sf_dir).collect())
     timings["curation_pipeline"] = round(secs, 3)
 
+    # MinHash-LSH end-to-end on synthetic token docs: signatures
+    # (num_perm=64, two-stage base-hash path) → banded LSH candidate
+    # pairs → count. 20k docs ≈ 13.5M shingles; exercises the operator
+    # family the gated portable-md5 query cannot (it is capped at 4
+    # permutations for oracle parity). 2% of docs get a near-dup twin
+    # (first token dropped, shifted id) so the bucket self-join half of
+    # the path runs against real candidates, not empty buckets.
+    from xorf_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    base_docs = docs_tokens(spark, 20_000, partitions=64).select(
+        "doc_id", "tokens")
+    twins = (base_docs.where(F.xxhash64("doc_id") % 50 == 0)
+             .select(F.concat("doc_id", F.lit("~twin")).alias("doc_id"),
+                     F.slice("tokens", 2, F.size("tokens")).alias("tokens")))
+    mh_docs = base_docs.unionByName(twins)
+
+    def minhash_lsh():
+        sigs = minhash_signatures(mh_docs, num_perm=64, shingle=3)
+        return lsh_candidate_pairs(sigs).count()
+
+    secs, n_cand = best_of(minhash_lsh)
+    timings["minhash_lsh_20k_docs"] = round(secs, 3)
+
     # token pipeline end-to-end: synthesize 100k docs → 8-token shingle keys →
     # exact dedup → sharded bfuse8 build
     def token_pipeline():
@@ -241,6 +264,9 @@ def main() -> None:
             "hll_agg_staged_keys_per_sec": round(hll_staged_rate),
             "theta_agg_keys_per_sec": round(theta_rate),
             "tdigest_agg_values_per_sec": round(tdigest_rate),
+            "minhash_lsh_docs_per_sec": round(
+                20_000 / timings["minhash_lsh_20k_docs"]),
+            "minhash_lsh_candidate_pairs": int(n_cand),
         },
     }))
     spark.stop()
