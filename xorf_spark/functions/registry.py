@@ -97,6 +97,26 @@ def shingle_hashes_sql(arr: str, n: int, seed: str | None = None) -> str:
             f"i -> xxhash64({args})) ELSE array() END")
 
 
+def word_shingles_sql(arr: str, n: int, sep: str = " ") -> str:
+    """SQL fragment: one ``sep``-joined STRING per n-element shingle of
+    array expression ``arr`` (stride 1), built from n scalar element
+    accesses — ``concat_ws(sep, arr[i], …, arr[i+n-1])``. Byte-identical
+    to the ``array_join(slice(arr, i, n), sep)`` form (both join
+    left-to-right with ``sep`` and skip nulls) but without the per-position
+    n-element array allocation, and with ``arr`` expected to be a
+    PROJECTED column: Catalyst does not hoist loop-invariant
+    subexpressions out of higher-order lambdas, so inlining a ``split()``
+    here re-splits the document once per shingle position (the
+    gopher_rules O(words²) bug). EMPTY when the array is shorter than n
+    (same descending-``sequence`` guard as :func:`shingle_starts_sql`).
+    Use when the shingle must stay an oracle-portable string; use
+    :func:`shingle_hashes_sql` for internal 64-bit keys."""
+    args = ", ".join(f"element_at({arr}, j + {i})" for i in range(n))
+    return (f"CASE WHEN size({arr}) >= {n} "
+            f"THEN transform(sequence(1, size({arr}) - {n - 1}), "
+            f"j -> concat_ws('{sep}', {args})) ELSE array() END")
+
+
 def md5long(col) -> Column:
     """Portable 60-bit integer hash (identical in Spark and DuckDB/ANSI SQL):
     first 15 hex digits of md5 as a bigint. Used wherever an oracle-checkable

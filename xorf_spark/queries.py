@@ -19,12 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dataflow as D
-from .functions import shingle_starts_sql
+from .functions import word_shingles_sql
 from .sources import tokens_from_documents
-
-#: guarded ascending start indices of 8-word shingles over split(text)
-_WORD8_STARTS = shingle_starts_sql("split(text, ' ')", 8)
-_WORD5_STARTS = shingle_starts_sql("split(text, ' ')", 5)
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -305,12 +301,10 @@ def q_shingle_stats(spark, sf_dir):
     """Distinct 8-word shingles per source (the shingle key-derivation stage,
     word-level so the oracle can reproduce it without xxhash64)."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source",
-        F.explode(F.expr(
-            f"transform({_WORD8_STARTS}, "
-            "i -> array_join(slice(split(text, ' '), i, 8), ' '))"
-        )).alias("shingle"))
+    sh = (docs.withColumn("__w", F.split("text", " "))
+          .select("source",
+                  F.explode(F.expr(word_shingles_sql("__w", 8)))
+                  .alias("shingle")))
     return (sh.groupBy("source")
             .agg(F.countDistinct("shingle").alias("n_distinct_shingles"),
                  F.count(F.lit(1)).alias("n_shingles"))
@@ -337,11 +331,9 @@ def q_shingle_key_dedup(spark, sf_dir):
     (tokenization is an injective per-word mapping in expectation; verified
     exactly at the word level)."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.explode(F.expr(
-            f"transform({_WORD8_STARTS}, "
-            "i -> array_join(slice(split(text, ' '), i, 8), ' '))"
-        )).alias("shingle"))
+    sh = (docs.withColumn("__w", F.split("text", " "))
+          .select(F.explode(F.expr(word_shingles_sql("__w", 8)))
+                  .alias("shingle")))
     return sh.agg(F.countDistinct("shingle").alias("n_distinct_shingles"))
 
 
@@ -390,12 +382,11 @@ def _ngram_jaccard_edges(spark, sf_dir):
     docs = ensure_fanout(load(spark, sf_dir, "documents"))
     # within-doc array_distinct == global (doc_id, shingle) distinct (doc_id
     # is unique per row), so no distinct() shuffle is needed at all
-    sh = docs.select(
-        F.col("doc_id"),
-        F.explode(F.array_distinct(F.expr(
-            f"transform({_WORD5_STARTS}, "
-            "i -> array_join(slice(split(text, ' '), i, 5), ' '))"
-        ))).alias("shingle"))
+    sh = (docs.withColumn("__w", F.split("text", " "))
+          .select(F.col("doc_id"),
+                  F.explode(F.array_distinct(
+                      F.expr(word_shingles_sql("__w", 5))))
+                  .alias("shingle")))
     hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > NGRAM_MAX_DF).select("shingle"))
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti")

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import sketches as S
-from .functions import shingle_starts_sql
+from .functions import word_shingles_sql
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -235,13 +235,11 @@ def _src01_shingle_sets(spark, sf_dir):
     and the exact-cardinality aggregate. ONE definition keeps both
     queries and the shared SQL oracle in lockstep."""
     docs = _load(spark, sf_dir, "documents")
-    starts4 = shingle_starts_sql("split(text, ' ')", 4)
-    sh = docs.where(F.col("source").isin("src0", "src1")).select(
-        "source",
-        F.explode(F.expr(
-            f"transform({starts4}, "
-            "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
-        )).alias("shingle")).cache()
+    sh = (docs.where(F.col("source").isin("src0", "src1"))
+          .withColumn("__w", F.split("text", " "))
+          .select("source",
+                  F.explode(F.expr(word_shingles_sql("__w", 4)))
+                  .alias("shingle")).cache())
     keyed = sh.select("source", F.xxhash64("shingle").alias("key"))
     exact = (sh.groupBy().agg(
         F.countDistinct(F.when(F.col("source") == "src0",
