@@ -94,15 +94,18 @@ def _family_zero_fn_query(kinds: list[str], min_keys: int):
     ``min_keys``: the deprecated fuse family cannot peel below ~150k keys
     (the reference's own test_fail_construction expects failure at 1k,
     src/fuse8.rs:177-184), so its key set is expanded to ≥ ``min_keys``
-    with a DATA-DERIVED factor — ``greatest(8, ceil(min_keys/rows))`` —
+    with a DATA-DERIVED factor — ``greatest(1, ceil(min_keys/rows))`` —
     computed identically in the oracle SQL, keeping the query green at
-    every scale factor."""
+    every scale factor. (The factor floors at 1, not a fixed multiple:
+    once the base table alone clears ``min_keys`` — 2× the peel
+    threshold — further expansion just multiplies the single-shard
+    legacy build cost, 8× wall-clock at sf0.1.)"""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load(spark, sf_dir, "lineitem")
         base = li.select("l_orderkey", "l_linenumber")
         if min_keys:
             n_base = base.count()
-            expand = max(8, -(-min_keys // n_base))
+            expand = max(1, -(-min_keys // n_base))
             base = base.select(
                 "*", F.explode(F.expr(f"sequence(1, {expand})")).alias("i"))
         else:
@@ -126,7 +129,7 @@ def _family_zero_fn_query(kinds: list[str], min_keys: int):
 
     values = ", ".join(f"('{k}')" for k in kinds)
     if min_keys:
-        n_sql = (f"(SELECT count(*) * greatest(8, CAST(ceil("
+        n_sql = (f"(SELECT count(*) * greatest(1, CAST(ceil("
                  f"{min_keys}.0 / count(*)) AS BIGINT)) FROM lineitem)")
     else:
         n_sql = "(SELECT count(*) FROM lineitem)"
