@@ -196,7 +196,8 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
                             vec_col: str = "embedding",
                             n_planes: int = 10, n_tables: int = 6,
                             seed: int = 13,
-                            max_bucket: int | None = None) -> DataFrame:
+                            max_bucket: int | None = None,
+                            pin: bool = True) -> DataFrame:
     """Embedding-cosine near-dup candidates via LSH self-join + exact
     verification (≥ threshold). The scale path for embedding dedup.
 
@@ -221,7 +222,16 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     bucket join's quadratic worst case (a near-threshold boilerplate
     cluster costs ≤ max_bucket² ≈ 1e9 comparisons per bucket, spread
     across tasks). The default path runs one extra ``count()`` over the
-    corpus; pass an explicit int to skip it or to re-tune the trade."""
+    corpus; pass an explicit int to skip it or to re-tune the trade.
+
+    ``pin`` (default True) eagerly ``localCheckpoint``s the exploded
+    ``(id, bucket_key)`` frame — ~16 bytes × ``n_tables`` per vector —
+    before fan-out: it feeds four plan branches (bucket-size aggregate,
+    size filter, both self-join sides), and without pinning each branch
+    recomputes every table's hyperplane signature AND re-scans the
+    corpus (AQE stage boundaries defeat ReuseExchange — the same plan
+    bug measured 2× in ``lsh_candidate_pairs``). Pass ``pin=False``
+    only when the caller has already persisted the corpus projection."""
     head = corpus.select(vec_col).first()
     if head is None or head[0] is None:
         raise ValueError(
@@ -236,6 +246,8 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     keys = [_signature("e", _hyperplanes(dim, n_planes, t, seed))
             + F.lit(t << n_planes) for t in range(n_tables)]
     keyed = c.select("id", F.explode(F.array(*keys)).alias("bkey"))
+    if pin:
+        keyed = keyed.localCheckpoint(eager=True)
     sizes = (keyed.groupBy("bkey")
              .agg(F.count(F.lit(1)).alias("n"))
              .where(F.col("n").between(2, max_bucket)))

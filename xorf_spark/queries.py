@@ -756,13 +756,18 @@ def q_embedding_neardup(spark, sf_dir):
 
     emb = (load(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") < NEARDUP_TRUTH_SLICE))
+    # per-ROW norms, hoisted out of the pair expression: sqrt(dot(e, e))
+    # is row-local, and inlining it in the pair projection re-aggregated
+    # both 64-element norms once per PAIR — 2/3 of the brute-force work.
+    # Same expression tree per value, so float results (and the 4dp
+    # round the oracle hash-matches) are bit-identical.
+    norm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
-                   F.col("label").alias("la"))
+                   F.col("label").alias("la"), norm.alias("na"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
-                   F.col("label").alias("lb"))
+                   F.col("label").alias("lb"), norm.alias("nb"))
     dot = F.expr(_DOT.format(a="ea", b="eb"))
-    na = F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-    nb = F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    na, nb = F.col("na"), F.col("nb")
     exact = (a.crossJoin(b).where(F.col("ia") < F.col("ib"))
              .select("ia", "ib",
                      F.round(dot / (na * nb), 4).alias("sim"),
