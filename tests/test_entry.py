@@ -45,6 +45,8 @@ def test_gate_window_covers_every_family():
         "dedup_exact", "minhash_signatures", "decontaminate",
         "pack_sequences", "curation_pipeline", "ann_cosine_topk",
         "ann_ivf_recall", "sessionize", "asof_join", "media_decode_image",
+        # storage-layout family
+        "bucketed_join",
     }
     missing = representatives - window
     assert not missing, f"families pushed out of the 50-query gate: {missing}"

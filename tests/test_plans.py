@@ -289,3 +289,50 @@ def test_ngram_edges_plan_fanout_and_broadcast_cap(spark):
     # (formatted mode puts Exchange arguments on their own detail line)
     assert re.search(r"hashpartitioning\(doc_id", plan), plan[:2000]
 
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Storage-layout contract: two tables bucketed on the join key with
+    equal bucket counts sort-merge-join with ZERO Exchange, while the
+    identical join over plain parquet frames shuffles both sides — and
+    both plans return identical values."""
+    from xorf_spark.operators.bucketing import (
+        bucketed_join, drop_bucketed, is_shuffle_free, write_bucketed)
+    from xorf_spark.plans.inspect import count_exchanges
+
+    left = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    right = spark.range(0, 10_000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("w"))
+    try:
+        bl = write_bucketed(left, "t_bkt_l", "k", 4, str(tmp_path / "l"))
+        br = write_bucketed(right, "t_bkt_r", "k", 4, str(tmp_path / "r"))
+        j = bucketed_join(bl, br, "k", require_shuffle_free=True)
+        assert is_shuffle_free(j)
+        plain = left.hint("merge").join(right, "k")
+        assert count_exchanges(plain) >= 2
+        assert sorted(map(tuple, j.collect())) == \
+            sorted(map(tuple, plain.collect()))
+        # one file per bucket: the pre-write repartition aligned writer
+        # tasks with buckets (tasks x buckets small-file blowup guard)
+        import glob
+        assert len(glob.glob(str(tmp_path / "l" / "*.parquet"))) == 4
+    finally:
+        drop_bucketed(spark, "t_bkt_l", "t_bkt_r")
+
+
+def test_bucketed_join_mismatch_raises(spark, tmp_path):
+    """require_shuffle_free refuses to silently pay the shuffle when the
+    bucket counts differ (the layout contract is broken, not degraded)."""
+    from xorf_spark.operators.bucketing import (
+        bucketed_join, drop_bucketed, write_bucketed)
+
+    left = spark.range(1_000).select(F.col("id").alias("k"))
+    right = spark.range(1_000).select(F.col("id").alias("k"))
+    try:
+        bl = write_bucketed(left, "t_bkt_m4", "k", 4, str(tmp_path / "m4"))
+        br = write_bucketed(right, "t_bkt_m3", "k", 3, str(tmp_path / "m3"))
+        with pytest.raises(AssertionError, match="Exchange"):
+            bucketed_join(bl, br, "k", require_shuffle_free=True)
+    finally:
+        drop_bucketed(spark, "t_bkt_m4", "t_bkt_m3")

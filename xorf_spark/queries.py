@@ -1773,6 +1773,51 @@ FROM (VALUES ('xor8'), ('bfuse8'), ('bfuse16')) AS t(kind)
 """
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join over a bucketed-table layout (the amortized-shuffle
+    storage investment for repeated fact-fact joins): both sides written
+    once as 8-bucket external parquet tables keyed on the order key, then
+    sort-merge-joined with ZERO Exchange — ``require_shuffle_free=True``
+    makes the plan property a hard failure, and the ``shuffle_free``
+    column is additionally asserted by the oracle as a literal (the
+    recall-gate pattern: the plan property itself is not SQL-expressible,
+    its contract is). Values (per-status item counts and quantity sums)
+    hash-match the plain-join SQL, proving the layout changes the plan,
+    not the answer. Result is materialized before the catalog tables are
+    dropped so the returned frame has no dangling table references."""
+    import tempfile
+
+    from .operators.bucketing import (bucketed_join, drop_bucketed,
+                                      is_shuffle_free, write_bucketed)
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = (load(spark, sf_dir, "orders")
+          .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"))
+    base = tempfile.mkdtemp(prefix="xorf_bucketed_")
+    t_li, t_od = "xorf_bjoin_lineitem", "xorf_bjoin_orders"
+    try:
+        bli = write_bucketed(li, t_li, "l_orderkey", 8, f"{base}/li")
+        bod = write_bucketed(od, t_od, "l_orderkey", 8, f"{base}/od")
+        j = bucketed_join(bli, bod, "l_orderkey", require_shuffle_free=True)
+        out = (j.groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n_items"),
+                    F.sum("l_quantity").cast("long").alias("sum_qty"))
+               .withColumn("shuffle_free", F.lit(bool(is_shuffle_free(j))))
+               .orderBy("o_orderstatus"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        drop_bucketed(spark, t_li, t_od)
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty,
+       TRUE AS shuffle_free
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1797,7 +1842,7 @@ _GATE_ORDER = [
     "token_table", "shingle_stats", "shingle_key_dedup", "dedup_exact",
     "ngram_jaccard_pairs", "neardup_components", "minhash_signatures",
     "simhash", "doc_fingerprint", "text_quality", "gopher_rules",
-    "redact_pii", "deterministic_sample", "lang_id", "token_count",
+    "redact_pii", "deterministic_sample", "lang_id", "bucketed_join",
     "vocab_topk", "range_partition", "tfidf_top_terms", "decontaminate",
     "salted_skew_ops", "curation_pipeline", "pack_sequences",
     # similarity / events / multimodal
@@ -1818,6 +1863,7 @@ _GATE_ORDER = [
     "mixture_sample",            # sampling family: deterministic_sample
     "theta_set_ops",             # sketch set-ops family: hll_set_ops
     "table_profile",             # sketch composition: hll/kll/mg families
+    "token_count",               # token counting: token_table (per-doc n_tok)
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -1868,6 +1914,7 @@ def registry() -> dict[str, tuple]:
         "contamination_report": (q_contamination_report,
                                  ORACLE_CONTAMINATION_REPORT),
         "salted_skew_ops": (q_salted_skew_ops, ORACLE_SALTED_SKEW_OPS),
+        "bucketed_join": (q_bucketed_join, ORACLE_BUCKETED_JOIN),
         "stratified_take": (q_stratified_take, ORACLE_STRATIFIED_TAKE),
         "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
         "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
