@@ -1235,3 +1235,56 @@ def test_profile_table_nan_and_bigint_semantics(spark):
     p = {r.column: r for r in profile_table(dfi).collect()}["k"]
     assert p.ivmin == big and p.ivmax == big + 1   # exact, not rounded
     assert p.n_vals == 2
+
+
+def test_segment_dedup_strikes_planted_boilerplate(spark):
+    """CCNet-style segment strike: a 5-word banner shared by three docs is
+    removed from each; unique segments survive in original order; a
+    boilerplate-only doc stays present with empty clean_text."""
+    banner = "subscribe to our daily newsletter"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=banner + " alpha beta gamma delta epsilon"),
+        Row(doc_id=1, text="zeta eta theta iota kappa " + banner),
+        Row(doc_id=2, text=banner),                      # boilerplate-only
+        Row(doc_id=3, text="lam mu nu xi omicron pi rho sigma tau upsilon"),
+    ])
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(
+        docs, seg_words=5, min_count=2).collect()}
+    assert len(out) == 4
+    assert out[0]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["clean_text"] == "zeta eta theta iota kappa"
+    assert (out[2]["clean_text"], out[2]["n_kept"],
+            out[2]["n_segments"]) == ("", 0, 1)
+    # doc 3: two unique segments kept, re-joined in original order
+    assert out[3]["clean_text"] == (
+        "lam mu nu xi omicron pi rho sigma tau upsilon")
+    assert out[3]["n_kept"] == 2 and out[3]["n_segments"] == 2
+
+
+def test_segment_dedup_tail_truncation_and_within_doc_repeat(spark):
+    """A short tail segment participates like any other; a segment repeated
+    within ONE doc counts toward min_count (occurrence-, not doc-, level —
+    matching the oracle SQL)."""
+    seg = "a b c"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=seg + " " + seg + " tail"),   # 'a b c' twice + tail
+        Row(doc_id=1, text="unique words only here"),
+    ])
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(
+        docs, seg_words=3, min_count=2).collect()}
+    # both 'a b c' occurrences struck, 1-word tail kept
+    assert out[0]["clean_text"] == "tail"
+    assert out[0]["n_segments"] == 3 and out[0]["n_kept"] == 1
+    assert out[1]["clean_text"] == "unique words only here"
+
+
+def test_segment_dedup_count_has_partial_aggregation(spark):
+    """The corpus-wide segment count must be a partial-agg groupBy (skew-
+    immune), never a window: the plan contains a partial HashAggregate
+    before the exchange feeding the final count."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="w x y z q") for i in range(8)])
+    plan = dedup.segment_dedup(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()

@@ -311,3 +311,65 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                     ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def segment_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seg_words: int = 5,
+                  min_count: int = 2) -> DataFrame:
+    """Cross-document segment dedup (CCNet-style boilerplate strike).
+
+    Splits every document into consecutive non-overlapping ``seg_words``-word
+    segments (paragraph proxies for the single-line test corpus; on real data
+    pass pre-split paragraphs), counts each distinct segment corpus-wide, and
+    strikes every occurrence of any segment that appears ``min_count`` or more
+    times anywhere in the corpus — the CCNet/RefinedWeb boilerplate-removal
+    pass that removes headers, navigation chrome, and license banners *inside*
+    otherwise-unique documents, which whole-document dedup
+    (``exact_dedup`` / ``minhash_dedup``) cannot touch.
+
+    Returns one row per input document: ``(id_col, n_segments, n_kept,
+    clean_text)`` where ``clean_text`` is the surviving segments re-joined in
+    original order ('' when every segment was struck — the row is kept so the
+    caller sees the doc was boilerplate-only rather than silently dropped).
+
+    Scale shape (100 TB): segment counting is a ``groupBy(segment).count()``
+    — map-side partial aggregation collapses heavy boilerplate before the
+    shuffle, so a segment repeated 10⁹× costs one partial row per input
+    partition, not one reduce-side straggler. The strike set (segments with
+    count ≥ min_count) is usually corpus-⋘ and joins back as a left_anti;
+    AQE's skew-join split handles a pathological segment on the probe side.
+    Re-assembly shuffles once on ``id_col`` with an order-restoring
+    ``array_sort(collect_list(struct(pos, seg)))`` (collect_list alone has no
+    ordering guarantee after a shuffle).
+    """
+    k = int(seg_words)
+    elems = ", ".join(f"try_element_at(__w, i * {k} + {j + 1})"
+                      for j in range(k))
+    # try_element_at past the end of the array is NULL (plain element_at
+    # THROWS under ANSI mode) and concat_ws skips NULLs, so the final
+    # short segment truncates naturally (mirrors the oracle's list_slice
+    # semantics); per-segment scalar accesses, not slice() — Catalyst
+    # does not hoist allocations out of lambdas
+    seg_sql = (f"transform(sequence(0, cast(ceil(size(__w) / {k}) as int)"
+               f" - 1), i -> concat_ws(' ', {elems}))")
+    segs = (df.select(F.col(id_col), F.split(F.col(text_col), " ")
+                      .alias("__w"))
+            .select(F.col(id_col),
+                    F.posexplode(F.expr(seg_sql)).alias("pos", "seg")))
+    hot = (segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") >= int(min_count)).select("seg"))
+    kept = segs.join(hot, "seg", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(" ", F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(pos, seg))), x -> x.seg)"))
+                    .alias("clean_text")))
+    totals = df.select(
+        F.col(id_col),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / k)
+        .cast("long").alias("n_segments"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col, "n_segments",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

@@ -369,6 +369,60 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+LINE_DEDUP_SEG_WORDS = 5
+LINE_DEDUP_MIN_COUNT = 2
+#: declared output slice: segment counts are corpus-wide, but only these
+#: docs' re-assembled texts are emitted (bounded rows at any sf)
+LINE_DEDUP_DOC_SLICE = 500
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document segment dedup (CCNet boilerplate strike): strike every
+    5-word segment that occurs >= 2 times corpus-wide, re-assemble the
+    survivors per doc. Counts run over the FULL corpus; output is the
+    declared doc_id < 500 slice (full re-assembled text value-checked)."""
+    from .operators.dedup import segment_dedup
+    docs = load(spark, sf_dir, "documents")
+    out = segment_dedup(docs, seg_words=LINE_DEDUP_SEG_WORDS,
+                        min_count=LINE_DEDUP_MIN_COUNT)
+    return (out.where(F.col("doc_id") < LINE_DEDUP_DOC_SLICE)
+            .orderBy("doc_id"))
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+pos AS (
+  SELECT doc_id, words,
+         unnest(generate_series(
+             1, CAST(ceil(len(words) / {LINE_DEDUP_SEG_WORDS}.0) AS BIGINT)
+         )) AS pos
+  FROM w
+),
+seg AS (
+  SELECT doc_id, pos,
+         array_to_string(
+           words[((pos - 1) * {LINE_DEDUP_SEG_WORDS} + 1):
+                 ((pos - 1) * {LINE_DEDUP_SEG_WORDS}
+                  + {LINE_DEDUP_SEG_WORDS})], ' ') AS seg
+  FROM pos
+),
+hot AS (SELECT seg FROM seg GROUP BY seg
+        HAVING count(*) >= {LINE_DEDUP_MIN_COUNT}),
+kept AS (SELECT * FROM seg WHERE seg NOT IN (SELECT seg FROM hot)),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(ceil(len(w.words) / {LINE_DEDUP_SEG_WORDS}.0) AS BIGINT)
+           AS n_segments,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       COALESCE(reb.clean_text, '') AS clean_text
+FROM w LEFT JOIN reb USING (doc_id)
+WHERE w.doc_id < {LINE_DEDUP_DOC_SLICE}
+ORDER BY w.doc_id
+"""
+
+
 NGRAM_MAX_DF = 100
 
 
@@ -1864,6 +1918,8 @@ _GATE_ORDER = [
     "theta_set_ops",             # sketch set-ops family: hll_set_ops
     "table_profile",             # sketch composition: hll/kll/mg families
     "token_count",               # token counting: token_table (per-doc n_tok)
+    "line_dedup",                # dedup family: dedup_exact (sub-document
+                                 # granularity — CCNet boilerplate strike)
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -1892,6 +1948,7 @@ def registry() -> dict[str, tuple]:
         "shingle_stats": (q_shingle_stats, ORACLE_SHINGLE_STATS),
         "shingle_key_dedup": (q_shingle_key_dedup, ORACLE_SHINGLE_KEY_DEDUP),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+        "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
         "neardup_components": (q_neardup_components, ORACLE_NEARDUP_COMPONENTS),
         "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
