@@ -1288,3 +1288,13 @@ def test_segment_dedup_count_has_partial_aggregation(spark):
         .toString()
     assert "Window" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_minhash_signature_short_doc_is_all_null(spark):
+    """A doc shorter than the shingle width has NO shingles: its signature
+    stays all-NULL (the pre-fold semantics — the aggregate fold must not
+    leak its MAX_LONG seed as a fake minimum)."""
+    df = spark.createDataFrame([Row(doc_id="d0", tokens=[1, 2])])
+    sig = dedup.minhash_signatures(df, num_perm=8, shingle=3) \
+        .collect()[0]["minhash"]
+    assert len(sig) == 8 and all(v is None for v in sig)

@@ -234,10 +234,20 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     """Rolling-hash document fingerprint: min xxhash64 over k-word windows
     (winnowing-style single-value fingerprint; identical docs ⇒ identical
     fingerprint, near-identical docs ⇒ equal with high probability)."""
-    words = f"split({text_col}, '\\\\s+')"
-    expr = (f"array_min(transform(sequence(1, greatest(size({words}) - "
-            f"{k} + 1, 1)), j -> xxhash64(slice({words}, j, {k}))))")
-    return df.withColumn(out_col, F.expr(expr))
+    # split projected ONCE (Catalyst does not hoist loop-invariant
+    # subexpressions out of lambdas — the inlined form re-split the text
+    # per window position, O(words²)); scalar word accesses instead of a
+    # slice() allocation per window, and an allocation-free aggregate/
+    # least fold instead of materializing the per-window hash array
+    # (try_element_at past the end is NULL, which xxhash64 skips — the
+    # size<k doc hashes its real words, like the old truncated slice)
+    elems = ", ".join(f"try_element_at(__fw, j + {i})" for i in range(k))
+    expr = (f"aggregate(sequence(1, greatest(size(__fw) - {k} + 1, 1)), "
+            f"9223372036854775807L, "
+            f"(acc, j) -> least(acc, xxhash64({elems})))")
+    return (df.withColumn("__fw", F.expr(f"split({text_col}, '\\\\s+')"))
+            .withColumn(out_col, F.expr(expr))
+            .drop("__fw"))
 
 
 def tf_idf_terms(df: DataFrame, text_col: str = "text",
