@@ -1298,3 +1298,42 @@ def test_minhash_signature_short_doc_is_all_null(spark):
     sig = dedup.minhash_signatures(df, num_perm=8, shingle=3) \
         .collect()[0]["minhash"]
     assert len(sig) == 8 and all(v is None for v in sig)
+
+
+def _ref_segment_dedup(texts: dict, k: int, min_count: int) -> dict:
+    """Pure-python reference for segment_dedup (same semantics, no Spark)."""
+    segs = {}
+    for did, text in texts.items():
+        words = text.split(" ")
+        segs[did] = [" ".join(words[i:i + k])
+                     for i in range(0, len(words), k)]
+    counts: dict = {}
+    for lst in segs.values():
+        for s in lst:
+            counts[s] = counts.get(s, 0) + 1
+    out = {}
+    for did, lst in segs.items():
+        kept = [s for s in lst if counts[s] < min_count]
+        out[did] = (len(lst), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 21, 63])
+def test_segment_dedup_matches_python_reference(spark, seed):
+    """Randomized corpora (tiny vocab => heavy segment collisions) against a
+    pure-python reference: n_segments, n_kept and the re-assembled text
+    must agree exactly for every doc."""
+    import random
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    texts = {f"d{i}": " ".join(rng.choice(vocab)
+                               for _ in range(rng.randint(1, 23)))
+             for i in range(40)}
+    k, mc = rng.choice([(2, 2), (3, 2), (3, 3), (5, 2)])
+    expect = _ref_segment_dedup(texts, k, mc)
+    df = spark.createDataFrame(
+        [Row(doc_id=did, text=t) for did, t in texts.items()])
+    got = {r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+           for r in dedup.segment_dedup(
+               df, seg_words=k, min_count=mc).collect()}
+    assert got == expect
