@@ -1337,3 +1337,28 @@ def test_segment_dedup_matches_python_reference(spark, seed):
            for r in dedup.segment_dedup(
                df, seg_words=k, min_count=mc).collect()}
     assert got == expect
+
+
+def test_segment_dedup_filter_strike_equals_join_strike(spark):
+    """strike='filter' (BinaryFuse8 pre-pass + exact backstop via
+    filter_anti_join) must produce bit-identical results to the plain
+    left_anti strike — including the empty-hot-set corpus (no boilerplate
+    anywhere) and a boilerplate-heavy one."""
+    import random
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d", "e"]
+    heavy = {f"h{i}": " ".join(rng.choice(vocab) for _ in range(12))
+             for i in range(30)}
+    # all-unique corpus: every segment distinct => hot set is EMPTY
+    unique = {f"u{i}": " ".join(f"w{i}_{j}" for j in range(7))
+              for i in range(10)}
+    for texts in (heavy, unique):
+        df = spark.createDataFrame(
+            [Row(doc_id=d, text=t) for d, t in texts.items()])
+        a = {r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+             for r in dedup.segment_dedup(
+                 df, seg_words=3, min_count=2, strike="join").collect()}
+        b = {r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+             for r in dedup.segment_dedup(
+                 df, seg_words=3, min_count=2, strike="filter").collect()}
+        assert a == b

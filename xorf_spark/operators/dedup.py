@@ -326,7 +326,7 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
 
 def segment_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", seg_words: int = 5,
-                  min_count: int = 2) -> DataFrame:
+                  min_count: int = 2, strike: str = "join") -> DataFrame:
     """Cross-document segment dedup (CCNet-style boilerplate strike).
 
     Splits every document into consecutive non-overlapping ``seg_words``-word
@@ -352,6 +352,22 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
     Re-assembly shuffles once on ``id_col`` with an order-restoring
     ``array_sort(collect_list(struct(pos, seg)))`` (collect_list alone has no
     ordering guarantee after a shuffle).
+
+    ``strike`` picks the anti-join strategy, with identical exact results:
+
+    - ``"join"`` (default): plain ``left_anti`` against the hot set — right
+      when the hot set broadcasts or the corpus is moderate.
+    - ``"filter"``: routes the strike through
+      :func:`xorf_spark.dataflow.filter_anti_join` — a BinaryFuse8 built
+      from the hot segments rejects ~99.6% of clean occurrences *before*
+      any join shuffle (zero false negatives, so rejected rows are
+      provably clean), and only the boilerplate occurrences + FPP residue
+      reach the exact backstop join. At 10¹¹+ docs the hot set itself can
+      hold billions of segments (too big to broadcast) while the exploded
+      corpus is ~100× bigger still — probing at ~9 bits per hot segment
+      beats shuffling the full exploded corpus into a join. This is the
+      library's own "filter in front of the slower lookup" flagship
+      composed with the pipeline operator.
     """
     k = int(seg_words)
     elems = ", ".join(f"try_element_at(__w, i * {k} + {j + 1})"
@@ -369,7 +385,14 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
                     F.posexplode(F.expr(seg_sql)).alias("pos", "seg")))
     hot = (segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__n"))
            .where(F.col("__n") >= int(min_count)).select("seg"))
-    kept = segs.join(hot, "seg", "left_anti")
+    if strike == "filter":
+        from ..dataflow import filter_anti_join
+        kept = filter_anti_join(segs, hot, probe_key="seg",
+                                build_key="seg").select(id_col, "pos", "seg")
+    elif strike == "join":
+        kept = segs.join(hot, "seg", "left_anti")
+    else:
+        raise ValueError(f"strike must be 'join' or 'filter', got {strike!r}")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_kept"),
                     F.concat_ws(" ", F.expr(
