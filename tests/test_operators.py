@@ -1362,3 +1362,62 @@ def test_segment_dedup_filter_strike_equals_join_strike(spark):
              for r in dedup.segment_dedup(
                  df, seg_words=3, min_count=2, strike="filter").collect()}
         assert a == b
+
+
+def test_training_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Write → verify ok; rewriting the same data (different input
+    partitioning) reproduces identical shard membership and checksums."""
+    from xorf_spark.operators import sink
+    df = spark.range(2000).select(
+        F.col("id"), F.format_string("doc-%d", "id").alias("text"))
+    m1 = sink.write_training_shards(df, str(tmp_path / "d1"),
+                                    rows_per_shard=300)
+    assert m1["n_shards"] == 7 and sum(
+        s["rows"] for s in m1["shards"].values()) == 2000
+    v = sink.verify_training_shards(spark, str(tmp_path / "d1"))
+    assert v["ok"] and not v["mismatched_shards"]
+    m2 = sink.write_training_shards(df.repartition(13),
+                                    str(tmp_path / "d2"), rows_per_shard=300)
+    assert m1["shards"] == m2["shards"]
+
+
+def test_training_shards_detect_tamper(spark, tmp_path):
+    """Deleting one shard's files flips verification for that shard only."""
+    import glob
+    import os
+    from xorf_spark.operators import sink
+    df = spark.range(500).select(F.col("id"),
+                                 (F.col("id") * 2).alias("v"))
+    sink.write_training_shards(df, str(tmp_path / "d"), rows_per_shard=100)
+    victim = glob.glob(str(tmp_path / "d" / "__xorf_shard=2" / "*.parquet"))
+    assert victim
+    for f in victim:
+        os.remove(f)
+    v = sink.verify_training_shards(spark, str(tmp_path / "d"))
+    assert not v["ok"] and v["mismatched_shards"] == ["2"]
+
+
+def test_training_shards_null_mask_disambiguates(spark, tmp_path):
+    """Rows differing only in WHICH column is NULL must not share a row
+    hash (xxhash64 skips NULL args): swapping the nulls between two rows
+    changes the delivered bytes and must flip verification."""
+    from xorf_spark.operators import sink
+    a = spark.createDataFrame([(1, None), (None, 1)], "x int, y int")
+    b = spark.createDataFrame([(None, 1), (1, None)], "x int, y int")
+    ma = sink.write_training_shards(a, str(tmp_path / "a"), rows_per_shard=10)
+    # same multiset under null-skipping, different under the mask: the
+    # per-row hashes (and so the shard xor64s) must differ
+    mb = sink.write_training_shards(b, str(tmp_path / "b"), rows_per_shard=10)
+    assert ma["shards"] == mb["shards"]  # same DATA multiset => same manifest
+    one = spark.createDataFrame([(1, None), (1, None)], "x int, y int")
+    mc = sink.write_training_shards(one, str(tmp_path / "c"),
+                                    rows_per_shard=10)
+    assert mc["shards"] != ma["shards"]
+
+
+def test_training_shards_empty_delivery(spark, tmp_path):
+    from xorf_spark.operators import sink
+    df = spark.range(5).where(F.col("id") < 0)
+    m = sink.write_training_shards(df, str(tmp_path / "e"))
+    assert m["n_rows"] == 0 and m["shards"] == {}
+    assert sink.verify_training_shards(spark, str(tmp_path / "e"))["ok"]

@@ -1,1 +1,1 @@
-from . import bucketing, dedup, multimodal, similarity, text  # noqa: F401
+from . import bucketing, dedup, multimodal, similarity, sink, text  # noqa: F401

@@ -1,0 +1,147 @@
+"""Training-data delivery sink: deterministic, size-targeted parquet shards
+with a tamper-evident manifest.
+
+The last step of a curation pipeline is handing a dataset to a trainer:
+fixed-size shards whose membership is a pure function of the data (rerunning
+the pipeline reproduces byte-comparable shard assignment — no
+``rand()``-based shuffling), plus a manifest recording per-shard row counts
+and order-independent 64-bit checksums so a trainer (or a later pipeline
+run) can verify integrity without re-reading the source.
+
+Scale shape (100 TB): one full pass writes the shards (single shuffle on the
+deterministic shard id) and one aggregation pass computes the manifest
+(partial-agg count + bit_xor per shard — KB-sized result rows; the driver
+only ever holds the manifest, never data). Verification reads ONLY the
+delivered shards, aggregates the same two values per shard, and compares —
+a cheap scan with no shuffle beyond the per-shard partial aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_MANIFEST.json"
+_SHARD_COL = "__xorf_shard"
+
+
+def _fs(path: str):
+    """(filesystem, base) via pyarrow.fs — local paths and object stores.
+    Manifest I/O runs driver-side only."""
+    from pyarrow import fs as pafs
+
+    fsys, base = pafs.FileSystem.from_uri(path)
+    return fsys, base.rstrip("/")
+
+
+def _row_hash(df: DataFrame, seed: int):
+    """Order-independent per-row 64-bit hash over ALL columns.
+
+    ``xxhash64`` skips NULL arguments entirely (a NULL hashes like a
+    missing column), so rows differing only in *which* column is NULL
+    would collide; the null mask is appended as an explicit argument to
+    disambiguate."""
+    cols = [F.col(c) for c in df.columns]
+    null_mask = F.concat_ws(
+        "", *[F.col(c).isNull().cast("int").cast("string")
+              for c in df.columns])
+    return F.xxhash64(*cols, null_mask, F.lit(seed))
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          rows_per_shard: int = 1_000_000,
+                          key_col: str | None = None,
+                          seed: int = 17) -> dict:
+    """Write ``df`` as ``shard=N/`` parquet dirs plus a ``_MANIFEST.json``.
+
+    Shard assignment is ``pmod(xxhash64(key, seed), n_shards)`` — a pure
+    function of the data (``key_col`` when given, else every column), so
+    reruns reproduce the same membership and the hash uniformity gives
+    each shard ~``rows_per_shard`` rows regardless of input skew or
+    partitioning. Returns the manifest dict.
+
+    The count pass and the write share one plan each; the manifest
+    aggregation is a partial-agg ``groupBy(shard)`` whose result is one
+    KB-sized row per shard (driver holds the manifest only).
+    """
+    n_rows = df.count()
+    n_shards = max(1, math.ceil(n_rows / max(1, int(rows_per_shard))))
+    key = (F.xxhash64(F.col(key_col), F.lit(seed)) if key_col
+           else _row_hash(df, seed))
+    sharded = df.withColumn(_SHARD_COL, F.pmod(key, F.lit(n_shards)))
+    (sharded.repartition(n_shards, _SHARD_COL)
+     .write.mode("overwrite")
+     .partitionBy(_SHARD_COL).parquet(path))
+    per = (sharded.groupBy(_SHARD_COL)
+           .agg(F.count(F.lit(1)).alias("rows"),
+                F.expr(f"bit_xor({_hash_sql(df, seed)})").alias("xor64"))
+           .collect())
+    manifest = {
+        "n_rows": int(n_rows),
+        "n_shards": int(n_shards),
+        "rows_per_shard": int(rows_per_shard),
+        "seed": int(seed),
+        "key_col": key_col,
+        "columns": list(df.columns),
+        "shards": {str(int(r[_SHARD_COL])): {
+            "rows": int(r["rows"]),
+            "xor64": int(r["xor64"]) if r["xor64"] is not None else 0,
+        } for r in per},
+    }
+    fsys, base = _fs(path)
+    with fsys.open_output_stream(f"{base}/{MANIFEST_NAME}") as fh:
+        fh.write(json.dumps(manifest, indent=1, sort_keys=True)
+                 .encode("utf-8"))
+    return manifest
+
+
+def _hash_sql(df: DataFrame, seed: int) -> str:
+    """SQL form of :func:`_row_hash` (bit_xor needs an expr aggregate)."""
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    mask = ", ".join(
+        f"cast(cast((`{c}` is null) as int) as string)" for c in df.columns)
+    return f"xxhash64({cols}, concat_ws('', {mask}), {seed})"
+
+
+def read_manifest(path: str) -> dict:
+    fsys, base = _fs(path)
+    with fsys.open_input_stream(f"{base}/{MANIFEST_NAME}") as fh:
+        return json.loads(fh.read().decode("utf-8"))
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> dict:
+    """Re-aggregate the delivered shards and compare against the manifest.
+
+    Returns ``{"ok": bool, "mismatched_shards": [...], "manifest": ...}``.
+    Reads only the delivered parquet (never the source): per-shard count +
+    bit_xor, one partial-agg scan. A missing shard dir, a dropped/extra
+    row, or any changed value flips ``ok``.
+    """
+    manifest = read_manifest(path)
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        # an empty delivery writes no partition dirs at all — valid iff
+        # the manifest promised zero shards
+        return {"ok": not manifest["shards"], "mismatched_shards":
+                sorted(manifest["shards"], key=int), "manifest": manifest}
+    data_cols = [c for c in manifest["columns"] if c in df.columns]
+    if set(data_cols) != set(manifest["columns"]) or _SHARD_COL not in df.columns:
+        return {"ok": False, "mismatched_shards": ["<schema>"],
+                "manifest": manifest}
+    view = df.select(*data_cols, _SHARD_COL)
+    per = {str(int(r[_SHARD_COL])): (int(r["rows"]), int(r["xor64"] or 0))
+           for r in (view.groupBy(_SHARD_COL)
+                     .agg(F.count(F.lit(1)).alias("rows"),
+                          F.expr(f"bit_xor({_hash_sql(view.drop(_SHARD_COL), manifest['seed'])})")
+                          .alias("xor64"))
+                     .collect())}
+    want = {s: (m["rows"], m["xor64"])
+            for s, m in manifest["shards"].items()}
+    bad = sorted({s for s in set(per) | set(want)
+                  if per.get(s) != want.get(s)}, key=int)
+    return {"ok": not bad, "mismatched_shards": bad, "manifest": manifest}
