@@ -1421,3 +1421,31 @@ def test_training_shards_empty_delivery(spark, tmp_path):
     m = sink.write_training_shards(df, str(tmp_path / "e"))
     assert m["n_rows"] == 0 and m["shards"] == {}
     assert sink.verify_training_shards(spark, str(tmp_path / "e"))["ok"]
+
+
+def test_end_to_end_delivery_pipeline(spark, tmp_path):
+    """The full delivery story: synthesize docs → segment-strike boilerplate
+    → exact dedup → pack offsets → write verified training shards. Every
+    doc surviving curation appears in exactly one shard; verification
+    passes; manifest row count equals the curated count."""
+    from xorf_spark.operators import sink
+    from xorf_spark.operators.packing import pack_sequences
+    docs = spark.createDataFrame(
+        [Row(doc_id=f"d{i}",
+             text=("shared banner line one two " if i % 4 == 0 else "")
+             + f"u{i} v{i} w{i} x{i} y{i} z{i}")
+         for i in range(40)])
+    clean = dedup.segment_dedup(docs, seg_words=5, min_count=2) \
+        .where(F.col("n_kept") > 0) \
+        .select("doc_id", F.col("clean_text").alias("text"))
+    deduped = dedup.exact_dedup(clean, "text", id_col="doc_id")
+    staged = (deduped
+              .withColumn("n_tok", F.size(F.split("text", " "))))
+    packed = pack_sequences(staged, seq_len=8)
+    m = sink.write_training_shards(packed, str(tmp_path / "out"),
+                                   rows_per_shard=16, key_col="doc_id")
+    assert m["n_rows"] == deduped.count()
+    v = sink.verify_training_shards(spark, str(tmp_path / "out"))
+    assert v["ok"]
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.select("doc_id").distinct().count() == m["n_rows"]
