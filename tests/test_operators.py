@@ -1449,3 +1449,57 @@ def test_end_to_end_delivery_pipeline(spark, tmp_path):
     assert v["ok"]
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.select("doc_id").distinct().count() == m["n_rows"]
+
+
+def test_diff_training_shards_localizes_changes(spark, tmp_path):
+    """An edit touching two keys flags only the affected shards; the
+    row-level diff recovers exactly the changed rows from those shards."""
+    from xorf_spark.operators import sink
+    base = spark.range(1000).select(
+        F.format_string("k%d", "id").alias("key"),
+        (F.col("id") * 3).alias("v"))
+    edited = base.withColumn(
+        "v", F.when(F.col("key").isin("k7", "k500"), F.lit(-1))
+        .otherwise(F.col("v")))
+    sink.write_training_shards(base, str(tmp_path / "old"),
+                               rows_per_shard=100, key_col="key")
+    sink.write_training_shards(edited, str(tmp_path / "new"),
+                               rows_per_shard=100, key_col="key")
+    d = sink.diff_training_shards(spark, str(tmp_path / "old"),
+                                  str(tmp_path / "new"))
+    assert not d["added_shards"] and not d["removed_shards"]
+    # key_col assignment: the two edited keys live in <= 2 shards, and
+    # only those read as changed
+    assert 1 <= len(d["changed_shards"]) <= 2
+    added = {(r["key"], r["v"]) for r in d["added_rows"].collect()}
+    removed = {(r["key"], r["v"]) for r in d["removed_rows"].collect()}
+    assert added == {("k7", -1), ("k500", -1)}
+    assert removed == {("k7", 21), ("k500", 1500)}
+
+
+def test_diff_training_shards_param_mismatch_raises(spark, tmp_path):
+    from xorf_spark.operators import sink
+    df = spark.range(10).select(F.col("id"), F.lit("x").alias("t"))
+    sink.write_training_shards(df, str(tmp_path / "a"), rows_per_shard=5,
+                               seed=17)
+    sink.write_training_shards(df, str(tmp_path / "b"), rows_per_shard=5,
+                               seed=18)
+    with pytest.raises(ValueError, match="seed"):
+        sink.diff_training_shards(spark, str(tmp_path / "a"),
+                                  str(tmp_path / "b"))
+
+
+def test_diff_training_shards_empty_old_delivery(spark, tmp_path):
+    """Diffing against an empty first delivery reports every new shard as
+    added and streams all rows as added_rows."""
+    from xorf_spark.operators import sink
+    empty = spark.range(1).where(F.col("id") < 0) \
+        .select(F.col("id"), F.lit("x").alias("t"))
+    full = spark.range(20).select(F.col("id"), F.lit("x").alias("t"))
+    sink.write_training_shards(empty, str(tmp_path / "old"), rows_per_shard=8)
+    sink.write_training_shards(full, str(tmp_path / "new"), rows_per_shard=8)
+    d = sink.diff_training_shards(spark, str(tmp_path / "old"),
+                                  str(tmp_path / "new"))
+    assert d["removed_shards"] == [] and d["changed_shards"] == []
+    assert len(d["added_shards"]) == 3
+    assert d["added_rows"].count() == 20 and d["removed_rows"].count() == 0

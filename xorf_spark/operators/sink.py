@@ -145,3 +145,70 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     bad = sorted({s for s in set(per) | set(want)
                   if per.get(s) != want.get(s)}, key=int)
     return {"ok": not bad, "mismatched_shards": bad, "manifest": manifest}
+
+
+def diff_training_shards(spark: SparkSession, old_path: str,
+                         new_path: str) -> dict:
+    """Manifest-driven delivery diff: which shards changed, and the exact
+    added/removed rows — reading ONLY the changed shards.
+
+    The per-shard (rows, xor64) pairs localize every change: unchanged
+    shards are skipped entirely (at 100 TB with a stable ``key_col``, an
+    edit touching 0.1% of keys reads ~0.1% of either delivery — two KB
+    manifests decide the rest). Row-level changes inside the changed
+    shards are recovered with two hash anti-joins.
+
+    Returns ``{"changed_shards", "added_shards", "removed_shards",
+    "added_rows": DataFrame, "removed_rows": DataFrame}`` (the DataFrames
+    are lazy; rows carry the delivery's data columns).
+
+    Both deliveries must share seed and columns (the row hash — and with
+    ``key_col`` the shard assignment — is parameterized by them). If the
+    deliveries have different ``n_shards`` (the corpus grew past the next
+    ``rows_per_shard`` boundary) the assignment function itself differs, so
+    most shards read as changed and the diff degrades to a full
+    two-delivery comparison — still exact, just not incremental; pin
+    ``n_shards`` by delivering at a stable ``rows_per_shard`` ×
+    corpus-size granularity when incrementality matters.
+    """
+    mo, mn = read_manifest(old_path), read_manifest(new_path)
+    for field in ("seed", "columns", "key_col", "rows_per_shard"):
+        if mo[field] != mn[field]:
+            raise ValueError(
+                f"deliveries differ in {field}: {mo[field]!r} vs "
+                f"{mn[field]!r} — re-deliver with matching parameters "
+                f"before diffing")
+    old_s, new_s = mo["shards"], mn["shards"]
+    added_shards = sorted(set(new_s) - set(old_s), key=int)
+    removed_shards = sorted(set(old_s) - set(new_s), key=int)
+    changed = sorted(
+        (s for s in set(old_s) & set(new_s)
+         if (old_s[s]["rows"], old_s[s]["xor64"])
+         != (new_s[s]["rows"], new_s[s]["xor64"])), key=int)
+
+    cols = mo["columns"]
+    if not old_s and not new_s:  # two empty deliveries: nothing to read
+        return {"changed_shards": [], "added_shards": [],
+                "removed_shards": [], "added_rows": None,
+                "removed_rows": None}
+    schema = (spark.read.parquet(new_path if new_s else old_path)
+              .select(*cols).schema)
+
+    def load(path, shards):
+        dirs = [f"{path}/{_SHARD_COL}={s}" for s in shards]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs).select(*cols)
+
+    old_changed = load(old_path, changed + removed_shards)
+    new_changed = load(new_path, changed + added_shards)
+    h = "__xorf_rh"
+    oh = old_changed.withColumn(h, _row_hash(old_changed, mo["seed"]))
+    nh = new_changed.withColumn(h, _row_hash(new_changed, mo["seed"]))
+    return {
+        "changed_shards": changed,
+        "added_shards": added_shards,
+        "removed_shards": removed_shards,
+        "added_rows": nh.join(oh.select(h), h, "left_anti").drop(h),
+        "removed_rows": oh.join(nh.select(h), h, "left_anti").drop(h),
+    }
