@@ -1503,3 +1503,53 @@ def test_diff_training_shards_empty_old_delivery(spark, tmp_path):
     assert d["removed_shards"] == [] and d["changed_shards"] == []
     assert len(d["added_shards"]) == 3
     assert d["added_rows"].count() == 20 and d["removed_rows"].count() == 0
+
+
+def test_stream_training_shards_delivery_and_replay(spark, tmp_path):
+    """File-fed stream delivered as sharded per-batch dirs: counts and
+    checksums verify; a replay of a committed batch id is a manifest
+    no-op; a crashed replay (batch dir rewritten, manifest already
+    committed) stays consistent because the dir is overwritten, never
+    appended."""
+    import json as _json
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest, stream_training_shards,
+        verify_streamed_delivery)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    b1 = spark.range(300).select(
+        F.format_string("k%d", "id").alias("key"),
+        (F.col("id") * 7).alias("v"))
+    b2 = spark.range(300, 500).select(
+        F.format_string("k%d", "id").alias("key"),
+        (F.col("id") * 7).alias("v"))
+    b1.repartition(1).write.mode("overwrite").parquet(src + "/b1")
+    b2.repartition(1).write.mode("overwrite").parquet(src + "/b2")
+    stream = spark.readStream.schema("key string, v long").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = (stream_training_shards(stream, out, n_shards=4, key_col="key")
+         .option("checkpointLocation", ck).start())
+    q.processAllAvailable()
+    q.stop()
+    m = read_stream_manifest(out)
+    assert m["n_rows"] == 500 and len(m["batches"]) == 2
+    assert sum(s["rows"] for s in m["shards"].values()) == 500
+    assert verify_streamed_delivery(spark, out)["ok"]
+
+    # drive the callback directly with an already-committed batch id:
+    # manifest must be byte-identical afterwards (exactly-once)
+    process = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    before = _json.dumps(m, sort_keys=True)
+    process(spark.read.parquet(src + "/b1"), m["batches"][0])
+    assert _json.dumps(read_stream_manifest(out), sort_keys=True) == before
+
+    # crashed replay: the batch dir was rewritten but the manifest commit
+    # never happened (already present) — verification still passes
+    sb = spark.read.parquet(src + "/b1")
+    (sb.withColumn("__xorf_shard",
+                   F.pmod(F.xxhash64("key", F.lit(17)), F.lit(4)))
+     .repartition(4, "__xorf_shard").write.mode("overwrite")
+     .partitionBy("__xorf_shard")
+     .parquet(out + f"/batches/b{m['batches'][0]}"))
+    assert verify_streamed_delivery(spark, out)["ok"]

@@ -10,4 +10,8 @@ from .sketch_window import (  # noqa: F401
     stream_windowed_hll,
     stream_windowed_sketch,
 )
+from .delivery import (  # noqa: F401
+    stream_training_shards,
+    verify_streamed_delivery,
+)
 from .stateful_dedup import stream_exact_dedup  # noqa: F401
