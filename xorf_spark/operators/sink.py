@@ -63,9 +63,14 @@ def write_training_shards(df: DataFrame, path: str,
     each shard ~``rows_per_shard`` rows regardless of input skew or
     partitioning. Returns the manifest dict.
 
-    The count pass and the write share one plan each; the manifest
-    aggregation is a partial-agg ``groupBy(shard)`` whose result is one
-    KB-sized row per shard (driver holds the manifest only).
+    The manifest is aggregated from the WRITTEN files (not the input
+    plan): a read-back of the delivered parquet is cheaper than a third
+    pass over the source, and the checksums then certify the actual
+    bytes on storage from the moment of delivery — a write that was
+    corrupted or truncated in flight can never produce a manifest that
+    "verifies". The aggregation is a partial-agg ``groupBy(shard)``
+    whose result is one KB-sized row per shard (driver holds the
+    manifest only).
     """
     n_rows = df.count()
     n_shards = max(1, math.ceil(n_rows / max(1, int(rows_per_shard))))
@@ -75,10 +80,12 @@ def write_training_shards(df: DataFrame, path: str,
     (sharded.repartition(n_shards, _SHARD_COL)
      .write.mode("overwrite")
      .partitionBy(_SHARD_COL).parquet(path))
-    per = (sharded.groupBy(_SHARD_COL)
-           .agg(F.count(F.lit(1)).alias("rows"),
-                F.expr(f"bit_xor({_hash_sql(df, seed)})").alias("xor64"))
-           .collect())
+    if n_rows:
+        back = (df.sparkSession.read.parquet(path)
+                .select(*df.columns, _SHARD_COL))
+        per = _per_shard_totals(back, list(df.columns), seed)
+    else:
+        per = {}
     manifest = {
         "n_rows": int(n_rows),
         "n_shards": int(n_shards),
@@ -86,10 +93,7 @@ def write_training_shards(df: DataFrame, path: str,
         "seed": int(seed),
         "key_col": key_col,
         "columns": list(df.columns),
-        "shards": {str(int(r[_SHARD_COL])): {
-            "rows": int(r["rows"]),
-            "xor64": int(r["xor64"]) if r["xor64"] is not None else 0,
-        } for r in per},
+        "shards": {s: {"rows": r, "xor64": x} for s, (r, x) in per.items()},
     }
     fsys, base = _fs(path)
     with fsys.open_output_stream(f"{base}/{MANIFEST_NAME}") as fh:
@@ -104,6 +108,21 @@ def _hash_sql(df: DataFrame, seed: int) -> str:
     mask = ", ".join(
         f"cast(cast((`{c}` is null) as int) as string)" for c in df.columns)
     return f"xxhash64({cols}, concat_ws('', {mask}), {seed})"
+
+
+def _per_shard_totals(df_with_shard: DataFrame, data_cols: list[str],
+                      seed: int) -> dict:
+    """``{shard: (rows, xor64)}`` via one partial-agg scan — the shared
+    accounting kernel of write, verify, and the streaming delivery."""
+    hash_src = df_with_shard.select(*data_cols)
+    return {str(int(r[_SHARD_COL])): (int(r["rows"]),
+                                      int(r["xor64"]) if r["xor64"]
+                                      is not None else 0)
+            for r in (df_with_shard.groupBy(_SHARD_COL)
+                      .agg(F.count(F.lit(1)).alias("rows"),
+                           F.expr(f"bit_xor({_hash_sql(hash_src, seed)})")
+                           .alias("xor64"))
+                      .collect())}
 
 
 def read_manifest(path: str) -> dict:
@@ -134,12 +153,7 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
         return {"ok": False, "mismatched_shards": ["<schema>"],
                 "manifest": manifest}
     view = df.select(*data_cols, _SHARD_COL)
-    per = {str(int(r[_SHARD_COL])): (int(r["rows"]), int(r["xor64"] or 0))
-           for r in (view.groupBy(_SHARD_COL)
-                     .agg(F.count(F.lit(1)).alias("rows"),
-                          F.expr(f"bit_xor({_hash_sql(view.drop(_SHARD_COL), manifest['seed'])})")
-                          .alias("xor64"))
-                     .collect())}
+    per = _per_shard_totals(view, data_cols, manifest["seed"])
     want = {s: (m["rows"], m["xor64"])
             for s, m in manifest["shards"].items()}
     bad = sorted({s for s in set(per) | set(want)

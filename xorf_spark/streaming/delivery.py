@@ -29,7 +29,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sink import _SHARD_COL, _fs, _hash_sql, _row_hash
+from ..operators.sink import (_SHARD_COL, _fs, _hash_sql, _per_shard_totals,
+                              _row_hash)
 
 MANIFEST_NAME = "_MANIFEST.json"
 
@@ -76,24 +77,31 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
         sharded = batch_df.withColumn(
             _SHARD_COL, F.pmod(key, F.lit(int(n_shards))))
         # immutable per-batch dir; overwrite heals a crashed replay
+        batch_dir = f"{path}/batches/b{batch_id}"
         (sharded.repartition(int(n_shards), _SHARD_COL)
          .write.mode("overwrite")
          .partitionBy(_SHARD_COL)
-         .parquet(f"{path}/batches/b{batch_id}"))
-        per = (sharded.groupBy(_SHARD_COL)
-               .agg(F.count(F.lit(1)).alias("rows"),
-                    F.expr(f"bit_xor({_hash_sql(batch_df, seed)})")
-                    .alias("xor64"))
-               .collect())
-        for r in per:
-            s = str(int(r[_SHARD_COL]))
+         .parquet(batch_dir))
+        # totals from the WRITTEN files (same contract as the batch sink:
+        # the manifest certifies the delivered bytes). An EMPTY batch
+        # writes no partition dirs, so schema inference fails with
+        # AnalysisException — the only error accepted, and only after
+        # confirming the batch really was empty; a transient FS error
+        # must propagate (the bug class of r3 verdict finding #1).
+        from pyspark.errors import AnalysisException
+        try:
+            back = (batch_df.sparkSession.read.parquet(batch_dir)
+                    .select(*columns, _SHARD_COL))
+            per = _per_shard_totals(back, columns, seed)
+        except AnalysisException:
+            if not batch_df.isEmpty():
+                raise
+            per = {}
+        for s, (rows, xor64) in per.items():
             cur = manifest["shards"].get(s, {"rows": 0, "xor64": 0})
-            manifest["shards"][s] = {
-                "rows": cur["rows"] + int(r["rows"]),
-                "xor64": cur["xor64"] ^ (int(r["xor64"])
-                                         if r["xor64"] is not None else 0),
-            }
-            manifest["n_rows"] += int(r["rows"])
+            manifest["shards"][s] = {"rows": cur["rows"] + rows,
+                                     "xor64": cur["xor64"] ^ xor64}
+            manifest["n_rows"] += rows
         manifest["batches"] = sorted(manifest["batches"] + [batch_id])
         _write_manifest_atomic(path, manifest, batch_id)
 
