@@ -1553,3 +1553,30 @@ def test_stream_training_shards_delivery_and_replay(spark, tmp_path):
      .partitionBy("__xorf_shard")
      .parquet(out + f"/batches/b{m['batches'][0]}"))
     assert verify_streamed_delivery(spark, out)["ok"]
+
+def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):
+    """Explicit-schema JSONL ingest: parsed rows carry the document schema,
+    unparseable lines land in the corrupt quarantine frame, and a
+    missing field is data (null), not corruption. Also exercises .gz
+    (codec from extension)."""
+    import gzip
+    from xorf_spark.sources.jsonl import read_documents_jsonl
+    lines = [
+        '{"doc_id": "a", "text": "hello world", "lang": "en", '
+        '"source": "web", "n_chars": 11}',
+        '{"doc_id": "b", "text": "zweite zeile", "lang": "de", '
+        '"source": "books"}',          # n_chars missing -> null, NOT corrupt
+        '{"doc_id": "c", "text": "broken',   # unparseable
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    pg = tmp_path / "docs2.jsonl.gz"
+    with gzip.open(pg, "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+    for src in (str(p), str(pg)):
+        good, corrupt = read_documents_jsonl(spark, src)
+        rows = {r["doc_id"]: r for r in good.collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"]["n_chars"] == 11 and rows["b"]["n_chars"] is None
+        bad = corrupt.collect()
+        assert len(bad) == 1 and "broken" in bad[0]["raw_line"]
