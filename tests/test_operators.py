@@ -1580,3 +1580,45 @@ def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):
         assert rows["a"]["n_chars"] == 11 and rows["b"]["n_chars"] is None
         bad = corrupt.collect()
         assert len(bad) == 1 and "broken" in bad[0]["raw_line"]
+
+def test_embedding_neardup_ivf_finds_planted_pairs(spark, emb_df):
+    """SemDeDup-style IVF near-dup: planted epsilon-perturbed twins are
+    recovered (tight pairs land in the same spherical-k-means list);
+    all reported cosines are exact and above threshold; at nprobe =
+    n_lists every vector shares a list with every other, so the result
+    equals the brute-force pair set."""
+    rows = emb_df.limit(25).collect()
+    rng = np.random.default_rng(5)
+    twins = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v + rng.standard_normal(v.size) * 0.01 * np.linalg.norm(v) \
+            / np.sqrt(v.size)
+        twins.append(Row(vec_id=int(r["vec_id"]) + 50_000,
+                         embedding=[float(x) for x in v], label=r["label"]))
+    corpus = emb_df.unionByName(spark.createDataFrame(twins, emb_df.schema))
+    cent = similarity.ivf_train(corpus, n_lists=8)
+    got = similarity.embedding_neardup_ivf(corpus, cent, threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 50_000) for r in rows}
+    assert planted <= pairs          # every twin recovered at nprobe=1
+    # exhaustive regime: nprobe == n_lists reproduces brute force
+    ex = similarity.embedding_neardup_ivf(corpus, cent, threshold=0.95,
+                                          nprobe=cent.shape[0])
+    ids = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in corpus.collect()}
+    brute = set()
+    ks = sorted(ids)
+    for i, aid in enumerate(ks):
+        for bid in ks[i + 1:]:
+            va, vb = ids[aid], ids[bid]
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= 0.95:
+                brute.add((aid, bid))
+    assert {(r["id_a"], r["id_b"]) for r in ex.collect()} == brute
+
+
+def test_embedding_neardup_ivf_oversize_list_refuses(spark, emb_df):
+    cent = similarity.ivf_train(emb_df, n_lists=2)
+    with pytest.raises(ValueError, match="max_list"):
+        similarity.embedding_neardup_ivf(emb_df, cent, max_list=3)

@@ -262,3 +262,55 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     return (cand.join(ea, "id_a").join(eb, "id_b")
             .select("id_a", "id_b", _cosine("e_a", "e_b").alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def embedding_neardup_ivf(corpus: DataFrame, centroids: np.ndarray,
+                          threshold: float = 0.9, nprobe: int = 1,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_list: int = 32_768) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding near-dup: assign every
+    vector to its ``nprobe`` nearest spherical-k-means lists
+    (:func:`ivf_train` centroids), generate pairs only WITHIN a shared
+    list, verify with the exact cosine (``>= threshold``).
+
+    The IVF twin of :func:`embedding_neardup_pairs` (random-hyperplane
+    LSH): k-means lists follow the DATA's density (tight semantic
+    clusters land whole in one list, which is exactly where near-dups
+    live — the SemDeDup observation), while hyperplane buckets are
+    data-oblivious. ``nprobe=1`` is the classic SemDeDup regime and
+    misses pairs straddling a list boundary; raising ``nprobe`` trades
+    join fan-out for recall (a pair is a candidate iff the two vectors
+    SHARE at least one of their nprobe lists).
+
+    Scale shape: one broadcast-matmul assignment pass (KB centroids), a
+    self-join co-located on list_id, exact verify on the surviving
+    pairs. ``max_list`` refuses degenerate lists (a list holding half
+    the corpus makes the within-list join quadratic in corpus size —
+    retrain with more lists instead); candidates stay bounded by
+    ``max_list`` × rows.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    assigned = c.select(
+        "id", F.explode(_assign_udf(centroids, nprobe)(F.col("e")))
+        .alias("list_id"))
+    sizes = (assigned.groupBy("list_id")
+             .agg(F.count(F.lit(1)).alias("n")))
+    oversize = [int(r["list_id"]) for r in
+                sizes.where(F.col("n") > max_list).collect()]
+    if oversize:
+        raise ValueError(
+            f"IVF lists {oversize} exceed max_list={max_list} vectors — "
+            f"the within-list join would be quadratic in corpus size; "
+            f"retrain with more lists (ivf_train n_lists) or raise "
+            f"max_list deliberately")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (a.join(b, "list_id").where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    ea = c.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"))
+    eb = c.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .select("id_a", "id_b", _cosine("e_a", "e_b").alias("cosine"))
+            .where(F.col("cosine") >= threshold))
