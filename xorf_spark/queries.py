@@ -853,6 +853,50 @@ FROM pairs WHERE sim >= 0.30 GROUP BY same_label ORDER BY same_label
 """
 
 
+def q_embedding_neardup_ivf(spark, sf_dir):
+    """SemDeDup-style IVF near-dup recall gate (the cluster-scoped twin of
+    ``embedding_neardup``, same approximate-operator oracle pattern):
+    spherical-k-means lists, nprobe=4 of 8 shared-list candidate pairs,
+    exact-cosine verify at the declared threshold over the declared
+    ``vec_id < NEARDUP_TRUTH_SLICE`` slice. Emits the exact pair count
+    (hash-matched by the oracle) plus a recall >= 0.9 boolean the oracle
+    asserts literally (measured 0.996-0.999 at all three scales;
+    k-means is not SQL-expressible, its quality contract is)."""
+    from .operators.similarity import (embedding_neardup_ivf, ivf_train,
+                                       _cosine)
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < NEARDUP_TRUTH_SLICE))
+    cent = ivf_train(emb, n_lists=8, sample_size=2000, seed=13)
+    approx = (embedding_neardup_ivf(emb, cent, threshold=0.30, nprobe=4)
+              .select("id_a", "id_b"))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("e_b"))
+    # 4dp round INSIDE both engines before the threshold — the same
+    # boundary-consistency convention as q_embedding_neardup
+    exact = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+             .where(F.round(_cosine("e_a", "e_b"), 4) >= 0.30)
+             .select("id_a", "id_b"))
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(int(n_exact), bool(n_hit >= 0.9 * n_exact))],
+        "n_exact_pairs bigint, recall_ok boolean")
+
+
+ORACLE_EMBEDDING_NEARDUP_IVF = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+           FROM embeddings WHERE vec_id < 1000)
+SELECT CAST((SELECT count(*)
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.30)
+            AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok
+"""
+
+
 # ---------------------------------------------------------------------------
 # 7. Events / windowed aggregation
 # ---------------------------------------------------------------------------
@@ -1920,6 +1964,8 @@ _GATE_ORDER = [
     "token_count",               # token counting: token_table (per-doc n_tok)
     "line_dedup",                # dedup family: dedup_exact (sub-document
                                  # granularity — CCNet boilerplate strike)
+    "embedding_neardup_ivf",     # embedding near-dup family:
+                                 # embedding_neardup (IVF/SemDeDup twin)
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -1979,6 +2025,8 @@ def registry() -> dict[str, tuple]:
         "ivf_ann_exhaustive": (q_ivf_ann_exhaustive, ORACLE_ANN_COSINE_TOPK),
         "ann_ivf_recall": (q_ann_ivf_recall, ORACLE_ANN_IVF_RECALL),
         "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+        "embedding_neardup_ivf": (q_embedding_neardup_ivf,
+                                  ORACLE_EMBEDDING_NEARDUP_IVF),
         "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
         "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
