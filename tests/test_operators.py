@@ -1364,6 +1364,90 @@ def test_segment_dedup_filter_strike_equals_join_strike(spark):
         assert a == b
 
 
+def test_substring_dedup_strikes_straddling_span(spark):
+    """ExactSubstr strike: a 9-token passage shared by two docs is removed
+    from both even though it straddles any fixed segment boundary (the case
+    segment_dedup structurally misses); unique docs pass through; a doc
+    shorter than the window is untouched; a fully-duplicated doc keeps its
+    row with empty clean_text."""
+    span = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="prefix0 pA pB " + span + " sufX sufY"),
+        Row(doc_id=1, text="lead1 " + span + " tail1 tail2 tail3"),
+        Row(doc_id=2, text=span),                       # fully duplicated
+        Row(doc_id=3, text="totally unique words that appear once only "
+                           "in this corpus here now"),
+        Row(doc_id=4, text="short doc"),                # < window tokens
+    ])
+    out = {r["doc_id"]: r for r in dedup.substring_dedup(
+        docs, window=8, min_count=2).collect()}
+    assert len(out) == 5
+    assert out[0]["clean_text"] == "prefix0 pA pB sufX sufY"
+    assert out[1]["clean_text"] == "lead1 tail1 tail2 tail3"
+    assert (out[2]["clean_text"], out[2]["n_kept"],
+            out[2]["n_tokens"]) == ("", 0, 9)
+    assert out[3]["n_kept"] == out[3]["n_tokens"]
+    assert (out[4]["clean_text"], out[4]["n_tokens"]) == ("short doc", 2)
+
+
+def test_substring_dedup_plan_is_partial_agg(spark):
+    """The corpus-wide window count must be a partial-agg groupBy (skew-
+    immune) — no Window operator anywhere in the physical plan."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="w x y z q r s t u v") for i in range(8)])
+    plan = dedup.substring_dedup(docs, window=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def _ref_substring_dedup(texts: dict, k: int, min_count: int) -> dict:
+    """Pure-python reference for substring_dedup (same semantics, no
+    Spark): stride-1 window counts, per-doc union of hot-window coverage."""
+    wins = {}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        wins[did] = ([" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)]
+                     if len(toks) >= k else [])
+    counts: dict = {}
+    for lst in wins.values():
+        for w in lst:
+            counts[w] = counts.get(w, 0) + 1
+    out = {}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        cov: set = set()
+        for i, w in enumerate(wins[did]):
+            if counts[w] >= min_count:
+                cov.update(range(i, i + k))
+        kept = [t for j, t in enumerate(toks) if j not in cov]
+        out[did] = (len(toks), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 19, 77])
+def test_substring_dedup_matches_python_reference(spark, seed):
+    """Randomized corpora (tiny vocab => heavy window collisions, including
+    within-doc repeats and overlapping hot windows) against a pure-python
+    reference: n_tokens, n_kept and the re-assembled text must agree
+    exactly for every doc."""
+    import random
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c"]
+    texts = {f"d{i}": " ".join(rng.choice(vocab)
+                               for _ in range(rng.randint(1, 25)))
+             for i in range(40)}
+    k, mc = rng.choice([(3, 2), (4, 2), (4, 3), (6, 2)])
+    expect = _ref_substring_dedup(texts, k, mc)
+    df = spark.createDataFrame(
+        [Row(doc_id=did, text=t) for did, t in texts.items()])
+    got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+           for r in dedup.substring_dedup(
+               df, window=k, min_count=mc).collect()}
+    assert got == expect
+
+
 def test_training_shards_roundtrip_and_determinism(spark, tmp_path):
     """Write → verify ok; rewriting the same data (different input
     partitioning) reproduces identical shard membership and checksums."""

@@ -407,3 +407,81 @@ def segment_dedup(df: DataFrame, text_col: str = "text",
             .select(id_col, "n_segments",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def substring_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Exact-substring dedup over OVERLAPPING token windows (the distributed
+    twin of Lee et al. 2021's suffix-array ExactSubstr pass, NeurIPS'21
+    "Deduplicating Training Data Makes Language Models Better").
+
+    The reference family here is sub-document dedup: where
+    :func:`segment_dedup` strikes *non-overlapping* fixed segments (CCNet
+    boilerplate), ExactSubstr removes every maximal token span of length
+    >= ``window`` that occurs verbatim >= ``min_count`` times corpus-wide —
+    catching duplicated passages that straddle segment boundaries. The
+    suffix-array construction is inherently single-machine; the standard
+    distributed reformulation (equivalent on spans >= window) is:
+
+    1. slide a ``window``-token window with stride 1 over every document
+       (Catalyst ``transform(sequence(...))`` — per-row JVM projection, no
+       explode until the window rows are needed for counting);
+    2. count each distinct window corpus-wide (``groupBy(win).count()`` —
+       map-side partial agg collapses a 10⁹×-duplicated passage to one
+       partial row per input partition, the skew-immune shape);
+    3. an occurrence of a hot window (count >= min_count) covers token
+       positions ``[pos, pos+window)``; the union of covered positions per
+       document is exactly the set of tokens lying inside some duplicated
+       span of length >= window — every token of a duplicated span of
+       length L >= window is covered by one of its L-window+1 sub-windows,
+       and no token outside such a span can be (its window would be unique);
+    4. strike covered tokens, re-join survivors in original order.
+
+    Returns one row per input document: ``(id_col, n_tokens, n_kept,
+    clean_text)`` — ``n_kept`` counts surviving tokens, ``clean_text`` is
+    their original-order re-join ('' when the whole doc is duplicated).
+
+    Scale shape (100 TB): the only shuffles are the window count (partial-agg
+    combined), the hot-occurrence semi-join (hot set is corpus-⋘; AQE
+    skew-split covers a pathological window), and one re-assembly shuffle on
+    ``id_col``. Covered positions are exploded only for HOT occurrences
+    (bounded by actual duplication mass, not corpus size), then distinct-ed
+    per (doc, position) before the anti-join — never O(corpus × window).
+    On real token-id data you'd window over the int tokens and key the count
+    on ``xxhash64(win)``; strings are kept here for oracle parity.
+    """
+    k = int(window)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ")
+                     .alias("__t"))
+    elems = ", ".join(f"try_element_at(__t, i + {j + 1})" for j in range(k))
+    # stride-1 windows: starts 0 .. n-k (docs shorter than k emit none);
+    # scalar element accesses, not slice() — Catalyst does not hoist
+    # allocations out of lambdas (same lesson as segment_dedup)
+    win_sql = (f"case when size(__t) >= {k} then "
+               f"transform(sequence(0, size(__t) - {k}), "
+               f"i -> concat_ws(' ', {elems})) "
+               f"else array() end")
+    wins = toks.select(F.col(id_col),
+                       F.posexplode(F.expr(win_sql)).alias("pos", "win"))
+    hot = (wins.groupBy("win").agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") >= int(min_count)).select("win"))
+    hot_occ = wins.join(hot, "win", "left_semi")
+    covered = (hot_occ.select(F.col(id_col),
+                              F.explode(F.expr(
+                                  f"sequence(pos, pos + {k - 1})"))
+                              .alias("cp"))
+               .groupBy(id_col)
+               .agg(F.collect_set("cp").alias("__cov")))
+    # strike by positional lambda over the doc's own token array (filter
+    # preserves order) — no per-token explode of the corpus; covered list
+    # is per-doc and bounded by the doc's length
+    kept_sql = ("filter(__t, (t, i) -> "
+                "NOT array_contains(coalesce(__cov, array()), i))")
+    return (toks.join(covered, id_col, "left")
+            .select(F.col(id_col),
+                    F.size("__t").cast("long").alias("n_tokens"),
+                    F.expr(kept_sql).alias("__k"))
+            .select(id_col, "n_tokens",
+                    F.size("__k").cast("long").alias("n_kept"),
+                    F.concat_ws(" ", "__k").alias("clean_text")))

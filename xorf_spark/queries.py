@@ -423,6 +423,69 @@ ORDER BY w.doc_id
 """
 
 
+SUBSTR_DEDUP_WINDOW = 8
+SUBSTR_DEDUP_MIN_COUNT = 2
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr, distributed):
+    strike every token lying inside a duplicated span of >= 8 tokens
+    (stride-1 windows counted corpus-wide, union of hot-window coverage per
+    doc). Counts run over the FULL corpus; output is the declared
+    doc_id < 500 slice (full re-assembled text value-checked)."""
+    from .operators.dedup import substring_dedup
+    docs = load(spark, sf_dir, "documents")
+    out = substring_dedup(docs, window=SUBSTR_DEDUP_WINDOW,
+                          min_count=SUBSTR_DEDUP_MIN_COUNT)
+    return (out.where(F.col("doc_id") < LINE_DEDUP_DOC_SLICE)
+            .orderBy("doc_id"))
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ws AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+             1, len(toks) - {SUBSTR_DEDUP_WINDOW} + 1)) AS s
+  FROM w WHERE len(toks) >= {SUBSTR_DEDUP_WINDOW}
+),
+win AS (
+  SELECT doc_id, s - 1 AS pos,
+         array_to_string(
+           toks[s : s + {SUBSTR_DEDUP_WINDOW} - 1], ' ') AS win
+  FROM ws
+),
+hot AS (SELECT win FROM win GROUP BY win
+        HAVING count(*) >= {SUBSTR_DEDUP_MIN_COUNT}),
+occ AS (SELECT doc_id, pos FROM win
+        WHERE win IN (SELECT win FROM hot)),
+occp AS (
+  SELECT doc_id,
+         unnest(generate_series(
+             pos, pos + {SUBSTR_DEDUP_WINDOW} - 1)) AS p
+  FROM occ
+),
+cov AS (SELECT DISTINCT doc_id, p FROM occp),
+ti AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks))) AS i
+       FROM w),
+tok AS (SELECT doc_id, i - 1 AS i, toks[i] AS tok FROM ti),
+kept AS (SELECT t.doc_id, t.i, t.tok
+         FROM tok t LEFT JOIN cov
+           ON cov.doc_id = t.doc_id AND cov.p = t.i
+         WHERE cov.p IS NULL),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(w.toks) AS BIGINT) AS n_tokens,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       COALESCE(reb.clean_text, '') AS clean_text
+FROM w LEFT JOIN reb USING (doc_id)
+WHERE w.doc_id < {LINE_DEDUP_DOC_SLICE}
+ORDER BY w.doc_id
+"""
+
+
 NGRAM_MAX_DF = 100
 
 
@@ -1966,6 +2029,8 @@ _GATE_ORDER = [
                                  # granularity — CCNet boilerplate strike)
     "embedding_neardup_ivf",     # embedding near-dup family:
                                  # embedding_neardup (IVF/SemDeDup twin)
+    "substring_dedup",           # dedup family: line_dedup (overlapping
+                                 # windows — Lee et al. ExactSubstr twin)
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -1995,6 +2060,7 @@ def registry() -> dict[str, tuple]:
         "shingle_key_dedup": (q_shingle_key_dedup, ORACLE_SHINGLE_KEY_DEDUP),
         "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
         "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+        "substring_dedup": (q_substring_dedup, ORACLE_SUBSTRING_DEDUP),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
         "neardup_components": (q_neardup_components, ORACLE_NEARDUP_COMPONENTS),
         "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH_SIGNATURES),
