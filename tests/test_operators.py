@@ -1621,11 +1621,14 @@ def test_stream_training_shards_delivery_and_replay(spark, tmp_path):
     assert sum(s["rows"] for s in m["shards"].values()) == 500
     assert verify_streamed_delivery(spark, out)["ok"]
 
-    # drive the callback directly with an already-committed batch id:
-    # manifest must be byte-identical afterwards (exactly-once)
+    # drive the callback directly with an already-committed batch (same
+    # id AND same content — the fingerprint guard requires replaying the
+    # batch that actually carried these rows): manifest must be
+    # byte-identical afterwards (exactly-once)
     process = make_batch_processor(out, 4, ["key", "v"], key_col="key")
     before = _json.dumps(m, sort_keys=True)
-    process(spark.read.parquet(src + "/b1"), m["batches"][0])
+    b1_entry = next(b for b in m["batches"] if b["rows"] == 300)
+    process(spark.read.parquet(src + "/b1"), b1_entry["batch_id"])
     assert _json.dumps(read_stream_manifest(out), sort_keys=True) == before
 
     # crashed replay: the batch dir was rewritten but the manifest commit
@@ -1635,7 +1638,54 @@ def test_stream_training_shards_delivery_and_replay(spark, tmp_path):
                    F.pmod(F.xxhash64("key", F.lit(17)), F.lit(4)))
      .repartition(4, "__xorf_shard").write.mode("overwrite")
      .partitionBy("__xorf_shard")
-     .parquet(out + f"/batches/b{m['batches'][0]}"))
+     .parquet(out + f"/batches/{b1_entry['dir']}"))
+    assert verify_streamed_delivery(spark, out)["ok"]
+
+
+def test_stream_delivery_checkpoint_lineage_reset(spark, tmp_path):
+    """A fresh checkpoint restarts batch ids at 0 with NEW data. Keying
+    the replay guard on the bare id would silently drop it (filter_refresh
+    stale-identity bug class, r3 advice #1); the fingerprinted guard must
+    bump the generation and APPEND the new lineage instead."""
+    import json as _json
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest, verify_streamed_delivery)
+    out = str(tmp_path / "out")
+    a = spark.range(100).select(
+        F.format_string("a%d", "id").alias("key"), F.col("id").alias("v"))
+    b = spark.range(100).select(
+        F.format_string("b%d", "id").alias("key"), F.col("id").alias("v"))
+    process = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    process(a, 0)                       # lineage 1 commits batch 0
+    m1 = read_stream_manifest(out)
+    assert m1["n_rows"] == 100 and m1["generation"] == 0
+
+    process(b, 0)                       # fresh checkpoint: id 0, NEW rows
+    m2 = read_stream_manifest(out)
+    assert m2["n_rows"] == 200 and m2["generation"] == 1
+    assert {e["dir"] for e in m2["batches"]} == {"b0", "b0g1"}
+    assert verify_streamed_delivery(spark, out)["ok"]
+
+    # replay of the new lineage's batch 0 is a no-op (same fingerprint)
+    before = _json.dumps(m2, sort_keys=True)
+    process(b, 0)
+    assert _json.dumps(read_stream_manifest(out), sort_keys=True) == before
+
+    # the new lineage continues past the collision without fingerprinting
+    c = spark.range(50).select(
+        F.format_string("c%d", "id").alias("key"), F.col("id").alias("v"))
+    process(c, 1)
+    m3 = read_stream_manifest(out)
+    assert m3["n_rows"] == 250 and m3["generation"] == 1
+    assert verify_streamed_delivery(spark, out)["ok"]
+
+    # crash-before-manifest-commit during a lineage bump heals on replay:
+    # rewind the manifest to m1 (data dirs for the bump remain on disk)
+    fsys_path = tmp_path / "out" / "_MANIFEST.json"
+    fsys_path.write_text(_json.dumps(m1, indent=1, sort_keys=True))
+    process(b, 0)                       # recomputes the same b0g1 dir
+    m4 = read_stream_manifest(out)
+    assert m4["n_rows"] == 200 and m4["generation"] == 1
     assert verify_streamed_delivery(spark, out)["ok"]
 
 def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):

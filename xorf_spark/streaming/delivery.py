@@ -5,17 +5,32 @@ Composes the batch sink (`operators/sink.py`) with the crash-safety
 patterns of `filter_refresh`:
 
 - Every micro-batch lands in its OWN immutable directory
-  ``batches/b{batch_id}/__xorf_shard=N/`` — a replayed batch overwrites
+  ``batches/<dir>/__xorf_shard=N/`` — a replayed batch overwrites
   its own directory (idempotent by construction) instead of appending
   duplicates into shared shard files.
 - The manifest is updated only AFTER the batch directory is fully
-  written, via temp-file + atomic rename; it records the committed batch
-  ids, so a replay of an already-committed batch is a no-op and a crash
-  between data-write and manifest-write is healed by the replay
+  written, via temp-file + atomic rename; it records the committed
+  batches, so a replay of an already-committed batch is a no-op and a
+  crash between data-write and manifest-write is healed by the replay
   (overwrite same dir, then commit the manifest).
 - Per-shard totals merge associatively (``rows`` add, ``xor64`` XORs —
   the same order-independent checksum as the batch sink), so the
   manifest never needs to re-read earlier batches.
+
+Batch ids are only unique WITHIN one checkpoint lineage: a stream
+restarted with a fresh (or lost) checkpoint replays ids from 0 with NEW
+data. Keying the replay guard on the bare batch id would silently drop
+that data (the same stale-identity bug class as filter_refresh's version
+names, r3 advice #1). The guard therefore stores a content fingerprint
+(row count + order-independent xor64) per committed batch and a manifest
+``generation``: a batch id that is already committed *with the same
+fingerprint* is a genuine replay (no-op); the same id with a DIFFERENT
+fingerprint is a new checkpoint lineage — the generation is bumped and
+the new lineage's batches land in fresh ``b{id}g{gen}`` directories,
+appending to the delivery instead of vanishing. (Identical content
+re-delivered from a fresh checkpoint is indistinguishable from a replay
+and treated as one — which is also the correct dedup outcome. The
+fingerprint is 64-bit; an adversarial collision could mask one batch.)
 
 ``n_shards`` is FIXED for the delivery's lifetime (streaming cannot know
 the final row count; a stable assignment is also what makes downstream
@@ -29,10 +44,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sink import (_SHARD_COL, _fs, _hash_sql, _per_shard_totals,
-                              _row_hash)
-
-MANIFEST_NAME = "_MANIFEST.json"
+from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _fs, _hash_sql,
+                              _per_shard_totals, _row_hash)
 
 
 def _manifest_path(base: str) -> str:
@@ -59,6 +72,17 @@ def _write_manifest_atomic(path: str, manifest: dict, tag) -> None:
     fsys.move(tmp, _manifest_path(base))
 
 
+def _frame_fingerprint(df: DataFrame, columns: list[str],
+                       seed: int) -> tuple[int, int]:
+    """(row count, order-independent xor64 over all rows) — one
+    partial-agg pass; equals the XOR-fold of the per-shard totals."""
+    d = df.select(*columns)
+    r = d.agg(F.count(F.lit(1)).alias("rows"),
+              F.expr(f"bit_xor({_hash_sql(d, seed)})").alias("xor64")) \
+        .collect()[0]
+    return int(r["rows"]), int(r["xor64"]) if r["xor64"] is not None else 0
+
+
 def make_batch_processor(path: str, n_shards: int, columns: list[str],
                          key_col: str | None = None, seed: int = 17):
     """The ``foreachBatch`` callback, exposed for direct driving (replay
@@ -69,15 +93,30 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
         if manifest is None:
             manifest = {"n_rows": 0, "n_shards": int(n_shards),
                         "seed": int(seed), "key_col": key_col,
-                        "columns": columns, "batches": [], "shards": {}}
-        if batch_id in manifest["batches"]:
-            return  # replay of a fully-committed batch: no-op
+                        "columns": columns, "generation": 0,
+                        "batches": [], "shards": {}}
+        gen = int(manifest.get("generation", 0))
+        prior = next((b for b in manifest["batches"]
+                      if b["batch_id"] == batch_id
+                      and b["generation"] == gen), None)
+        if prior is not None:
+            # same id, current lineage: genuine replay, or a fresh
+            # checkpoint restarting at 0 with new data — fingerprint
+            # decides (see module docstring)
+            rows, xor64 = _frame_fingerprint(batch_df, columns, seed)
+            if (rows, xor64) == (prior["rows"], prior["xor64"]):
+                return  # committed replay: no-op
+            gen += 1  # new lineage; persisted with this batch's commit
+            manifest["generation"] = gen
+        dirname = f"b{batch_id}" if gen == 0 else f"b{batch_id}g{gen}"
+        # immutable per-batch dir; overwrite heals a crashed replay (the
+        # generation bump is recomputed deterministically on replay, so a
+        # crash before the manifest commit lands in the same dir)
         key = (F.xxhash64(F.col(key_col), F.lit(seed)) if key_col
                else _row_hash(batch_df, seed))
         sharded = batch_df.withColumn(
             _SHARD_COL, F.pmod(key, F.lit(int(n_shards))))
-        # immutable per-batch dir; overwrite heals a crashed replay
-        batch_dir = f"{path}/batches/b{batch_id}"
+        batch_dir = f"{path}/batches/{dirname}"
         (sharded.repartition(int(n_shards), _SHARD_COL)
          .write.mode("overwrite")
          .partitionBy(_SHARD_COL)
@@ -97,13 +136,21 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
             if not batch_df.isEmpty():
                 raise
             per = {}
+        batch_rows, batch_xor = 0, 0
         for s, (rows, xor64) in per.items():
             cur = manifest["shards"].get(s, {"rows": 0, "xor64": 0})
             manifest["shards"][s] = {"rows": cur["rows"] + rows,
                                      "xor64": cur["xor64"] ^ xor64}
             manifest["n_rows"] += rows
-        manifest["batches"] = sorted(manifest["batches"] + [batch_id])
-        _write_manifest_atomic(path, manifest, batch_id)
+            batch_rows += rows
+            batch_xor ^= xor64
+        manifest["batches"] = sorted(
+            manifest["batches"] + [{"batch_id": int(batch_id),
+                                    "generation": gen, "dir": dirname,
+                                    "rows": batch_rows,
+                                    "xor64": batch_xor}],
+            key=lambda b: (b["generation"], b["batch_id"]))
+        _write_manifest_atomic(path, manifest, dirname)
 
     return process
 
@@ -134,17 +181,12 @@ def verify_streamed_delivery(spark: SparkSession, path: str) -> dict:
 
     # one read per committed batch dir (each infers its own shard
     # partition column) — a glob with basePath would trip partition
-    # discovery over the non-key-value `b{N}` level
-    parts = [spark.read.parquet(f"{path}/batches/b{b}")
+    # discovery over the non-key-value batch-dir level
+    parts = [spark.read.parquet(f"{path}/batches/{b['dir']}")
              .select(*manifest["columns"], _SHARD_COL)
              for b in manifest["batches"]]
     df = reduce(DataFrame.unionByName, parts)
-    per = {str(int(r[_SHARD_COL])): (int(r["rows"]), int(r["xor64"] or 0))
-           for r in (df.groupBy(_SHARD_COL)
-                     .agg(F.count(F.lit(1)).alias("rows"),
-                          F.expr(f"bit_xor({_hash_sql(df.drop(_SHARD_COL), manifest['seed'])})")
-                          .alias("xor64"))
-                     .collect())}
+    per = _per_shard_totals(df, manifest["columns"], manifest["seed"])
     want = {s: (m["rows"], m["xor64"])
             for s, m in manifest["shards"].items()}
     bad = sorted({s for s in set(per) | set(want)
