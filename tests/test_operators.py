@@ -1236,6 +1236,18 @@ def test_profile_table_nan_and_bigint_semantics(spark):
     assert p.ivmin == big and p.ivmax == big + 1   # exact, not rounded
     assert p.n_vals == 2
 
+    # an ALL-NULL partition emits a partial row with ivmin/ivmax = NULL;
+    # a pandas-based merge would coerce the whole int64 column to
+    # float64 and round the exact values (r4 review finding #2) — the
+    # Arrow merge must keep them exact
+    dfn = spark.createDataFrame(
+        spark.sparkContext.parallelize([(big,), (big + 1,), (None,)], 3),
+        "k long")
+    assert dfn.rdd.getNumPartitions() == 3
+    pn = {r.column: r for r in profile_table(dfn).collect()}["k"]
+    assert pn.ivmin == big and pn.ivmax == big + 1
+    assert pn.n_vals == 2 and pn.n_nulls == 1
+
 
 def test_segment_dedup_strikes_planted_boilerplate(spark):
     """CCNet-style segment strike: a 5-word banner shared by three docs is
@@ -1561,6 +1573,29 @@ def test_diff_training_shards_localizes_changes(spark, tmp_path):
     assert removed == {("k7", 21), ("k500", 1500)}
 
 
+def test_diff_training_shards_multiplicity_changes(spark, tmp_path):
+    """The row diff is a MULTISET diff (r4 review finding #3): old holds
+    row X twice, new holds it once — one removed X must be reported
+    (a set anti-join would report the shard changed with zero rows);
+    symmetrically a row going 1 → 3 copies reports two added copies."""
+    from xorf_spark.operators import sink
+    old = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2), ("z", 3)], "key string, v int")
+    new = spark.createDataFrame(
+        [("x", 1), ("y", 2), ("y", 2), ("y", 2), ("z", 3)],
+        "key string, v int")
+    sink.write_training_shards(old, str(tmp_path / "old"),
+                               rows_per_shard=100, key_col="key")
+    sink.write_training_shards(new, str(tmp_path / "new"),
+                               rows_per_shard=100, key_col="key")
+    d = sink.diff_training_shards(spark, str(tmp_path / "old"),
+                                  str(tmp_path / "new"))
+    added = sorted((r["key"], r["v"]) for r in d["added_rows"].collect())
+    removed = sorted((r["key"], r["v"]) for r in d["removed_rows"].collect())
+    assert added == [("y", 2), ("y", 2)]
+    assert removed == [("x", 1)]
+
+
 def test_diff_training_shards_param_mismatch_raises(spark, tmp_path):
     from xorf_spark.operators import sink
     df = spark.range(10).select(F.col("id"), F.lit("x").alias("t"))
@@ -1701,6 +1736,7 @@ def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):
         '{"doc_id": "b", "text": "zweite zeile", "lang": "de", '
         '"source": "books"}',          # n_chars missing -> null, NOT corrupt
         '{"doc_id": "c", "text": "broken',   # unparseable
+        'null',                        # bare JSON null: data-free -> corrupt
     ]
     p = tmp_path / "docs.jsonl"
     p.write_text("\n".join(lines) + "\n")
@@ -1712,8 +1748,10 @@ def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):
         rows = {r["doc_id"]: r for r in good.collect()}
         assert set(rows) == {"a", "b"}
         assert rows["a"]["n_chars"] == 11 and rows["b"]["n_chars"] is None
-        bad = corrupt.collect()
-        assert len(bad) == 1 and "broken" in bad[0]["raw_line"]
+        bad = sorted(r["raw_line"] for r in corrupt.collect())
+        assert len(bad) == 2
+        assert "broken" in bad[1] and bad[1].startswith("{")
+        assert bad[0] == "null"
 
 def test_embedding_neardup_ivf_finds_planted_pairs(spark, emb_df):
     """SemDeDup-style IVF near-dup: planted epsilon-perturbed twins are

@@ -30,7 +30,6 @@ Semantics notes:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -157,17 +156,22 @@ def profile_partials(df: DataFrame, columns: list[str] | None = None,
     return df.select(*proj).mapInArrow(fold, PARTIAL_SCHEMA)
 
 
-def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_partials(tb: pa.Table) -> pa.Table:
     """Distributed reduce: fold all of one column's partial rows into a
     single partial row (runs as one task per column — the driver never
-    sees more than one row per column)."""
+    sees more than one row per column). Arrow in/out, NOT pandas: a
+    partial row with a null ``ivmin``/``ivmax`` (a partition whose
+    integral column was all NULL) would coerce the whole pandas column
+    to float64, rounding exact int64 min/max beyond 2⁵³ — the precise
+    case the module contract promises to keep exact."""
     hll = mg = kll = None
     n = nulls = 0
     vmin = vmax = ivmin = ivmax = None
-    for r in pdf.itertuples():
-        n += int(r.n_vals)
-        nulls += int(r.n_nulls)
-        for name, payload in (("hll", r.hll), ("mg", r.mg), ("kll", r.kll)):
+    for r in tb.to_pylist():   # exact python ints, None for nulls
+        n += r["n_vals"]
+        nulls += r["n_nulls"]
+        for name, payload in (("hll", r["hll"]), ("mg", r["mg"]),
+                              ("kll", r["kll"])):
             if payload is None:
                 continue
             sk = sketch_from_bytes(payload)
@@ -177,20 +181,22 @@ def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
                 mg = sk if mg is None else mg.merge(sk)
             else:
                 kll = sk if kll is None else kll.merge(sk)
-        if r.vmin is not None and not pd.isna(r.vmin):
-            vmin = _acc_min(vmin, float(r.vmin))
-        if r.vmax is not None and not pd.isna(r.vmax):
-            vmax = _acc_max(vmax, float(r.vmax))
-        if r.ivmin is not None and not pd.isna(r.ivmin):
-            ivmin = _acc_min(ivmin, int(r.ivmin))
-        if r.ivmax is not None and not pd.isna(r.ivmax):
-            ivmax = _acc_max(ivmax, int(r.ivmax))
-    return pd.DataFrame([{
-        "column": pdf["column"].iloc[0], "n_vals": n, "n_nulls": nulls,
+        if r["vmin"] is not None:
+            vmin = _acc_min(vmin, float(r["vmin"]))
+        if r["vmax"] is not None:
+            vmax = _acc_max(vmax, float(r["vmax"]))
+        if r["ivmin"] is not None:
+            ivmin = _acc_min(ivmin, int(r["ivmin"]))
+        if r["ivmax"] is not None:
+            ivmax = _acc_max(ivmax, int(r["ivmax"]))
+    return pa.Table.from_pylist([{
+        "column": tb.column("column")[0].as_py(),
+        "n_vals": n, "n_nulls": nulls,
         "hll": hll.to_bytes() if hll else None,
         "mg": mg.to_bytes() if mg else None,
         "kll": kll.to_bytes() if kll else None,
-        "vmin": vmin, "vmax": vmax, "ivmin": ivmin, "ivmax": ivmax}])
+        "vmin": vmin, "vmax": vmax, "ivmin": ivmin, "ivmax": ivmax}],
+        schema=tb.schema)
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,
@@ -206,7 +212,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     numeric = {c: isinstance(fields[c], _NUMERIC) for c in cols}
     merged = (profile_partials(df, cols, hll_p, kll_k, mg_k)
               .groupBy("column")
-              .applyInPandas(_merge_partials, PARTIAL_SCHEMA)
+              .applyInArrow(_merge_partials, PARTIAL_SCHEMA)
               .collect())
     by_col = {r.column: r for r in merged}
     out = []

@@ -224,14 +224,16 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
     across tasks). The default path runs one extra ``count()`` over the
     corpus; pass an explicit int to skip it or to re-tune the trade.
 
-    ``pin`` (default True) eagerly ``localCheckpoint``s the exploded
+    ``pin`` (default True) lazily ``localCheckpoint``s the exploded
     ``(id, bucket_key)`` frame — ~16 bytes × ``n_tables`` per vector —
     before fan-out: it feeds four plan branches (bucket-size aggregate,
     size filter, both self-join sides), and without pinning each branch
     recomputes every table's hyperplane signature AND re-scans the
     corpus (AQE stage boundaries defeat ReuseExchange — the same plan
-    bug measured 2× in ``lsh_candidate_pairs``). Pass ``pin=False``
-    only when the caller has already persisted the corpus projection."""
+    bug measured 2× in ``lsh_candidate_pairs``). Lazy: no job runs at
+    call time; blocks are freed on GC; see ``lsh_candidate_pairs`` for
+    the non-replicated-storage tradeoff. Pass ``pin=False`` only when
+    the caller has already persisted the corpus projection."""
     head = corpus.select(vec_col).first()
     if head is None or head[0] is None:
         raise ValueError(
@@ -247,7 +249,7 @@ def embedding_neardup_pairs(corpus: DataFrame, threshold: float = 0.9,
             + F.lit(t << n_planes) for t in range(n_tables)]
     keyed = c.select("id", F.explode(F.array(*keys)).alias("bkey"))
     if pin:
-        keyed = keyed.localCheckpoint(eager=True)
+        keyed = keyed.localCheckpoint(eager=False)
     sizes = (keyed.groupBy("bkey")
              .agg(F.count(F.lit(1)).alias("n"))
              .where(F.col("n").between(2, max_bucket)))
@@ -285,7 +287,11 @@ def embedding_neardup_ivf(corpus: DataFrame, centroids: np.ndarray,
 
     Scale shape: one broadcast-matmul assignment pass (KB centroids), a
     self-join co-located on list_id, exact verify on the surviving
-    pairs. ``max_list`` refuses degenerate lists (a list holding half
+    pairs. The assignment frame is pinned (lazy ``localCheckpoint``,
+    same rationale and tradeoffs as ``embedding_neardup_pairs``): it
+    feeds the oversize check AND both self-join sides, and without the
+    pin each branch re-runs the pandas-UDF matmul over the whole corpus.
+    ``max_list`` refuses degenerate lists (a list holding half
     the corpus makes the within-list join quadratic in corpus size —
     retrain with more lists instead); candidates stay bounded by
     ``max_list`` × rows.
@@ -293,7 +299,7 @@ def embedding_neardup_ivf(corpus: DataFrame, centroids: np.ndarray,
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     assigned = c.select(
         "id", F.explode(_assign_udf(centroids, nprobe)(F.col("e")))
-        .alias("list_id"))
+        .alias("list_id")).localCheckpoint(eager=False)
     sizes = (assigned.groupBy("list_id")
              .agg(F.count(F.lit(1)).alias("n")))
     oversize = [int(r["list_id"]) for r in

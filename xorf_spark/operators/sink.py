@@ -170,7 +170,12 @@ def diff_training_shards(spark: SparkSession, old_path: str,
     shards are skipped entirely (at 100 TB with a stable ``key_col``, an
     edit touching 0.1% of keys reads ~0.1% of either delivery — two KB
     manifests decide the rest). Row-level changes inside the changed
-    shards are recovered with two hash anti-joins.
+    shards are recovered as a MULTISET diff: per row-hash, the excess
+    copies on either side are reported (old has X twice, new has X once
+    → one removed X), so duplicate-multiplicity changes — realistic in a
+    delivery whose dedup is thresholded — are visible, not swallowed by
+    a set anti-join. Identical rows always land in the same shard, so
+    the multiset compare never needs the unchanged shards.
 
     Returns ``{"changed_shards", "added_shards", "removed_shards",
     "added_rows": DataFrame, "removed_rows": DataFrame}`` (the DataFrames
@@ -219,10 +224,27 @@ def diff_training_shards(spark: SparkSession, old_path: str,
     h = "__xorf_rh"
     oh = old_changed.withColumn(h, _row_hash(old_changed, mo["seed"]))
     nh = new_changed.withColumn(h, _row_hash(new_changed, mo["seed"]))
+
+    def _excess(side, other_counts, cnt_col):
+        # multiset difference: keep the copies of each row beyond the
+        # other side's count of that row (identical copies are
+        # interchangeable — row_number picks which ones survive). The
+        # window partitions on the row hash; its width is one row's
+        # duplicate multiplicity, not a shard.
+        from pyspark.sql import Window
+        rn = "__xorf_rn"
+        w = Window.partitionBy(h).orderBy(F.lit(1))
+        return (side.withColumn(rn, F.row_number().over(w))
+                .join(other_counts, h, "left")
+                .where(F.col(rn) > F.coalesce(F.col(cnt_col), F.lit(0)))
+                .drop(h, rn, cnt_col))
+
+    oc = oh.groupBy(h).agg(F.count(F.lit(1)).alias("__xorf_oc"))
+    nc = nh.groupBy(h).agg(F.count(F.lit(1)).alias("__xorf_nc"))
     return {
         "changed_shards": changed,
         "added_shards": added_shards,
         "removed_shards": removed_shards,
-        "added_rows": nh.join(oh.select(h), h, "left_anti").drop(h),
-        "removed_rows": oh.join(nh.select(h), h, "left_anti").drop(h),
+        "added_rows": _excess(nh, oc, "__xorf_oc"),
+        "removed_rows": _excess(oh, nc, "__xorf_nc"),
     }

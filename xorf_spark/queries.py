@@ -1946,6 +1946,7 @@ def q_bucketed_join(spark, sf_dir):
     hash-match the plain-join SQL, proving the layout changes the plan,
     not the answer. Result is materialized before the catalog tables are
     dropped so the returned frame has no dangling table references."""
+    import shutil
     import tempfile
 
     from .operators.bucketing import (bucketed_join, drop_bucketed,
@@ -1968,6 +1969,10 @@ def q_bucketed_join(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         drop_bucketed(spark, t_li, t_od)
+        # drop_bucketed removes only the catalog entries (external
+        # tables); the bucketed parquet copies are ours to delete, or
+        # every check/bench round leaks two table copies into /tmp
+        shutil.rmtree(base, ignore_errors=True)
 
 
 ORACLE_BUCKETED_JOIN = """

@@ -63,9 +63,13 @@ def read_documents_jsonl(spark: SparkSession, path: str,
         F.from_json("value", full,
                     {"mode": "PERMISSIVE",
                      "columnNameOfCorruptRecord": _CORRUPT}).alias("__d"))
-    good = (parsed.where(F.col(f"__d.{_CORRUPT}").isNull())
+    # a line that is the bare JSON literal `null` (or blank) parses to a
+    # NULL struct with a NULL corrupt field — data-free, uncountable as
+    # an all-null "good" row, so it belongs in the quarantine. `{}` by
+    # contrast is a NON-null struct of null fields: data, kept good.
+    is_good = F.col("__d").isNotNull() & F.col(f"__d.{_CORRUPT}").isNull()
+    good = (parsed.where(is_good)
             .select(*[F.col(f"__d.{f.name}").alias(f.name)
                       for f in schema.fields]))
-    corrupt = (parsed.where(F.col(f"__d.{_CORRUPT}").isNotNull())
-               .select(F.col("value").alias("raw_line")))
+    corrupt = parsed.where(~is_good).select(F.col("value").alias("raw_line"))
     return good, corrupt
