@@ -1502,7 +1502,7 @@ def test_training_shards_null_mask_disambiguates(spark, tmp_path):
     b = spark.createDataFrame([(None, 1), (1, None)], "x int, y int")
     ma = sink.write_training_shards(a, str(tmp_path / "a"), rows_per_shard=10)
     # same multiset under null-skipping, different under the mask: the
-    # per-row hashes (and so the shard xor64s) must differ
+    # per-row hashes (and so the shard sum64s) must differ
     mb = sink.write_training_shards(b, str(tmp_path / "b"), rows_per_shard=10)
     assert ma["shards"] == mb["shards"]  # same DATA multiset => same manifest
     one = spark.createDataFrame([(1, None), (1, None)], "x int, y int")
@@ -1722,6 +1722,57 @@ def test_stream_delivery_checkpoint_lineage_reset(spark, tmp_path):
     m4 = read_stream_manifest(out)
     assert m4["n_rows"] == 200 and m4["generation"] == 1
     assert verify_streamed_delivery(spark, out)["ok"]
+
+
+def test_stream_delivery_duplicate_pair_lineage_not_cancelled(spark,
+                                                              tmp_path):
+    """r4 review finding: a bit-XOR fingerprint folds every
+    even-multiplicity row to 0, so two entirely different duplicate-pair
+    batches share fingerprint (2N, 0) — a lineage reset delivering new
+    duplicate pairs under a replayed batch id would be misread as a
+    committed replay and silently dropped. The sum64 fingerprint must
+    distinguish them and append the new lineage."""
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest, verify_streamed_delivery)
+    out = str(tmp_path / "out")
+    # every row appears exactly twice in each batch; contents differ
+    a1 = spark.range(50).select(
+        F.format_string("x%d", "id").alias("key"), F.lit(1).alias("v"))
+    a = a1.unionAll(a1)
+    b1 = spark.range(50).select(
+        F.format_string("y%d", "id").alias("key"), F.lit(1).alias("v"))
+    b = b1.unionAll(b1)
+    process = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    process(a, 0)
+    process(b, 0)                       # lineage reset, new duplicate pairs
+    m = read_stream_manifest(out)
+    assert m["n_rows"] == 200 and m["generation"] == 1
+    assert verify_streamed_delivery(spark, out)["ok"]
+
+
+def test_stream_delivery_empty_batch_commit_and_verify(spark, tmp_path):
+    """An upstream-filtered trigger commits an EMPTY batch (rows=0, dir
+    holds only _SUCCESS). The verifier must skip it — not crash on
+    schema inference (r4 review finding) — and still certify the
+    delivery; an all-empty delivery verifies too."""
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest, verify_streamed_delivery)
+    out = str(tmp_path / "out")
+    empty = spark.range(0).select(
+        F.format_string("e%d", "id").alias("key"), F.col("id").alias("v"))
+    rows = spark.range(40).select(
+        F.format_string("r%d", "id").alias("key"), F.col("id").alias("v"))
+    process = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    process(empty, 0)
+    m = read_stream_manifest(out)
+    assert m["n_rows"] == 0 and m["batches"][0]["rows"] == 0
+    assert verify_streamed_delivery(spark, out)["ok"]   # all-empty delivery
+    process(rows, 1)
+    process(empty, 2)
+    m = read_stream_manifest(out)
+    assert m["n_rows"] == 40 and len(m["batches"]) == 3
+    assert verify_streamed_delivery(spark, out)["ok"]
+
 
 def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):
     """Explicit-schema JSONL ingest: parsed rows carry the document schema,

@@ -10,10 +10,21 @@ run) can verify integrity without re-reading the source.
 
 Scale shape (100 TB): one full pass writes the shards (single shuffle on the
 deterministic shard id) and one aggregation pass computes the manifest
-(partial-agg count + bit_xor per shard — KB-sized result rows; the driver
-only ever holds the manifest, never data). Verification reads ONLY the
-delivered shards, aggregates the same two values per shard, and compares —
-a cheap scan with no shuffle beyond the per-shard partial aggregation.
+(partial-agg count + wrapping sum of row hashes per shard — KB-sized result
+rows; the driver only ever holds the manifest, never data). Verification
+reads ONLY the delivered shards, aggregates the same two values per shard,
+and compares — a cheap scan with no shuffle beyond the per-shard partial
+aggregation.
+
+Checksum choice: the order-independent fold is a SUM of per-row hashes mod
+2**64, NOT a bit-XOR. XOR self-cancels even multiplicities — two copies of
+the same row fold to 0, so swapping one duplicate pair for another (or a
+whole batch of duplicate pairs for a different one) would keep the checksum
+fixed, which is exactly the blind spot a duplicate-heavy pre-dedup delivery
+would hit naturally. Under the sum, k copies contribute k·h: only the
+2^-64-probability accidental collision remains. The sum is computed in
+decimal(20,0) (sum type decimal(30,0)) so ANSI mode cannot overflow below
+~5e10 rows per shard, then wrapped to 64 bits driver-side.
 """
 
 from __future__ import annotations
@@ -93,7 +104,7 @@ def write_training_shards(df: DataFrame, path: str,
         "seed": int(seed),
         "key_col": key_col,
         "columns": list(df.columns),
-        "shards": {s: {"rows": r, "xor64": x} for s, (r, x) in per.items()},
+        "shards": {s: {"rows": r, "sum64": x} for s, (r, x) in per.items()},
     }
     fsys, base = _fs(path)
     with fsys.open_output_stream(f"{base}/{MANIFEST_NAME}") as fh:
@@ -103,25 +114,33 @@ def write_training_shards(df: DataFrame, path: str,
 
 
 def _hash_sql(df: DataFrame, seed: int) -> str:
-    """SQL form of :func:`_row_hash` (bit_xor needs an expr aggregate)."""
+    """SQL form of :func:`_row_hash` (the sum fold needs an expr aggregate)."""
     cols = ", ".join(f"`{c}`" for c in df.columns)
     mask = ", ".join(
         f"cast(cast((`{c}` is null) as int) as string)" for c in df.columns)
     return f"xxhash64({cols}, concat_ws('', {mask}), {seed})"
 
 
+def _sum_sql(df: DataFrame, seed: int) -> str:
+    """Order-independent multiset checksum: wrapping 64-bit SUM of per-row
+    hashes (see module docstring for why not bit_xor). Summed as
+    decimal(20,0) so ANSI mode cannot overflow; wrapped driver-side."""
+    return f"sum(cast({_hash_sql(df, seed)} as decimal(20, 0)))"
+
+
+def _wrap64(v) -> int:
+    return int(v) % (1 << 64) if v is not None else 0
+
+
 def _per_shard_totals(df_with_shard: DataFrame, data_cols: list[str],
                       seed: int) -> dict:
-    """``{shard: (rows, xor64)}`` via one partial-agg scan — the shared
+    """``{shard: (rows, sum64)}`` via one partial-agg scan — the shared
     accounting kernel of write, verify, and the streaming delivery."""
     hash_src = df_with_shard.select(*data_cols)
-    return {str(int(r[_SHARD_COL])): (int(r["rows"]),
-                                      int(r["xor64"]) if r["xor64"]
-                                      is not None else 0)
+    return {str(int(r[_SHARD_COL])): (int(r["rows"]), _wrap64(r["sum64"]))
             for r in (df_with_shard.groupBy(_SHARD_COL)
                       .agg(F.count(F.lit(1)).alias("rows"),
-                           F.expr(f"bit_xor({_hash_sql(hash_src, seed)})")
-                           .alias("xor64"))
+                           F.expr(_sum_sql(hash_src, seed)).alias("sum64"))
                       .collect())}
 
 
@@ -136,7 +155,7 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
 
     Returns ``{"ok": bool, "mismatched_shards": [...], "manifest": ...}``.
     Reads only the delivered parquet (never the source): per-shard count +
-    bit_xor, one partial-agg scan. A missing shard dir, a dropped/extra
+    hash sum, one partial-agg scan. A missing shard dir, a dropped/extra
     row, or any changed value flips ``ok``.
     """
     manifest = read_manifest(path)
@@ -154,7 +173,7 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
                 "manifest": manifest}
     view = df.select(*data_cols, _SHARD_COL)
     per = _per_shard_totals(view, data_cols, manifest["seed"])
-    want = {s: (m["rows"], m["xor64"])
+    want = {s: (m["rows"], m["sum64"])
             for s, m in manifest["shards"].items()}
     bad = sorted({s for s in set(per) | set(want)
                   if per.get(s) != want.get(s)}, key=int)
@@ -166,7 +185,7 @@ def diff_training_shards(spark: SparkSession, old_path: str,
     """Manifest-driven delivery diff: which shards changed, and the exact
     added/removed rows — reading ONLY the changed shards.
 
-    The per-shard (rows, xor64) pairs localize every change: unchanged
+    The per-shard (rows, sum64) pairs localize every change: unchanged
     shards are skipped entirely (at 100 TB with a stable ``key_col``, an
     edit touching 0.1% of keys reads ~0.1% of either delivery — two KB
     manifests decide the rest). Row-level changes inside the changed
@@ -202,8 +221,8 @@ def diff_training_shards(spark: SparkSession, old_path: str,
     removed_shards = sorted(set(old_s) - set(new_s), key=int)
     changed = sorted(
         (s for s in set(old_s) & set(new_s)
-         if (old_s[s]["rows"], old_s[s]["xor64"])
-         != (new_s[s]["rows"], new_s[s]["xor64"])), key=int)
+         if (old_s[s]["rows"], old_s[s]["sum64"])
+         != (new_s[s]["rows"], new_s[s]["sum64"])), key=int)
 
     cols = mo["columns"]
     if not old_s and not new_s:  # two empty deliveries: nothing to read

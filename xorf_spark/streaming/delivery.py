@@ -13,8 +13,9 @@ patterns of `filter_refresh`:
   batches, so a replay of an already-committed batch is a no-op and a
   crash between data-write and manifest-write is healed by the replay
   (overwrite same dir, then commit the manifest).
-- Per-shard totals merge associatively (``rows`` add, ``xor64`` XORs —
-  the same order-independent checksum as the batch sink), so the
+- Per-shard totals merge associatively (``rows`` add, ``sum64`` adds
+  mod 2**64 — the same order-independent multiset checksum as the batch
+  sink; see sink.py for why a hash SUM and not a bit-XOR), so the
   manifest never needs to re-read earlier batches.
 
 Batch ids are only unique WITHIN one checkpoint lineage: a stream
@@ -22,7 +23,7 @@ restarted with a fresh (or lost) checkpoint replays ids from 0 with NEW
 data. Keying the replay guard on the bare batch id would silently drop
 that data (the same stale-identity bug class as filter_refresh's version
 names, r3 advice #1). The guard therefore stores a content fingerprint
-(row count + order-independent xor64) per committed batch and a manifest
+(row count + order-independent sum64) per committed batch and a manifest
 ``generation``: a batch id that is already committed *with the same
 fingerprint* is a genuine replay (no-op); the same id with a DIFFERENT
 fingerprint is a new checkpoint lineage — the generation is bumped and
@@ -30,7 +31,12 @@ the new lineage's batches land in fresh ``b{id}g{gen}`` directories,
 appending to the delivery instead of vanishing. (Identical content
 re-delivered from a fresh checkpoint is indistinguishable from a replay
 and treated as one — which is also the correct dedup outcome. The
-fingerprint is 64-bit; an adversarial collision could mask one batch.)
+fingerprint is a SUM of row hashes mod 2**64, not a bit-XOR: XOR folds
+every even-multiplicity row to 0, so two entirely different
+duplicate-pair batches would share fingerprint (2N, 0) and the second
+lineage's data would be silently dropped — duplicate-heavy pre-dedup
+streams hit that naturally, not adversarially. Under the sum only the
+2^-64 accidental collision remains.)
 
 ``n_shards`` is FIXED for the delivery's lifetime (streaming cannot know
 the final row count; a stable assignment is also what makes downstream
@@ -44,8 +50,9 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _fs, _hash_sql,
-                              _per_shard_totals, _row_hash)
+from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _fs,
+                              _per_shard_totals, _row_hash, _sum_sql,
+                              _wrap64)
 
 
 def _manifest_path(base: str) -> str:
@@ -74,13 +81,12 @@ def _write_manifest_atomic(path: str, manifest: dict, tag) -> None:
 
 def _frame_fingerprint(df: DataFrame, columns: list[str],
                        seed: int) -> tuple[int, int]:
-    """(row count, order-independent xor64 over all rows) — one
-    partial-agg pass; equals the XOR-fold of the per-shard totals."""
+    """(row count, order-independent sum64 over all rows) — one
+    partial-agg pass; equals the mod-2**64 sum of the per-shard totals."""
     d = df.select(*columns)
     r = d.agg(F.count(F.lit(1)).alias("rows"),
-              F.expr(f"bit_xor({_hash_sql(d, seed)})").alias("xor64")) \
-        .collect()[0]
-    return int(r["rows"]), int(r["xor64"]) if r["xor64"] is not None else 0
+              F.expr(_sum_sql(d, seed)).alias("sum64")).collect()[0]
+    return int(r["rows"]), _wrap64(r["sum64"])
 
 
 def make_batch_processor(path: str, n_shards: int, columns: list[str],
@@ -103,8 +109,8 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
             # same id, current lineage: genuine replay, or a fresh
             # checkpoint restarting at 0 with new data — fingerprint
             # decides (see module docstring)
-            rows, xor64 = _frame_fingerprint(batch_df, columns, seed)
-            if (rows, xor64) == (prior["rows"], prior["xor64"]):
+            rows, sum64 = _frame_fingerprint(batch_df, columns, seed)
+            if (rows, sum64) == (prior["rows"], prior["sum64"]):
                 return  # committed replay: no-op
             gen += 1  # new lineage; persisted with this batch's commit
             manifest["generation"] = gen
@@ -136,19 +142,20 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
             if not batch_df.isEmpty():
                 raise
             per = {}
-        batch_rows, batch_xor = 0, 0
-        for s, (rows, xor64) in per.items():
-            cur = manifest["shards"].get(s, {"rows": 0, "xor64": 0})
-            manifest["shards"][s] = {"rows": cur["rows"] + rows,
-                                     "xor64": cur["xor64"] ^ xor64}
+        batch_rows, batch_sum = 0, 0
+        for s, (rows, sum64) in per.items():
+            cur = manifest["shards"].get(s, {"rows": 0, "sum64": 0})
+            manifest["shards"][s] = {
+                "rows": cur["rows"] + rows,
+                "sum64": (cur["sum64"] + sum64) % (1 << 64)}
             manifest["n_rows"] += rows
             batch_rows += rows
-            batch_xor ^= xor64
+            batch_sum = (batch_sum + sum64) % (1 << 64)
         manifest["batches"] = sorted(
             manifest["batches"] + [{"batch_id": int(batch_id),
                                     "generation": gen, "dir": dirname,
                                     "rows": batch_rows,
-                                    "xor64": batch_xor}],
+                                    "sum64": batch_sum}],
             key=lambda b: (b["generation"], b["batch_id"]))
         _write_manifest_atomic(path, manifest, dirname)
 
@@ -181,13 +188,18 @@ def verify_streamed_delivery(spark: SparkSession, path: str) -> dict:
 
     # one read per committed batch dir (each infers its own shard
     # partition column) — a glob with basePath would trip partition
-    # discovery over the non-key-value batch-dir level
+    # discovery over the non-key-value batch-dir level. A committed
+    # EMPTY batch (rows=0 — every row of a trigger filtered upstream)
+    # has a dir holding only _SUCCESS: reading it would fail schema
+    # inference, and it contributes nothing — skip it, mirroring the
+    # writer's empty-batch guard.
     parts = [spark.read.parquet(f"{path}/batches/{b['dir']}")
              .select(*manifest["columns"], _SHARD_COL)
-             for b in manifest["batches"]]
-    df = reduce(DataFrame.unionByName, parts)
-    per = _per_shard_totals(df, manifest["columns"], manifest["seed"])
-    want = {s: (m["rows"], m["xor64"])
+             for b in manifest["batches"] if b["rows"]]
+    per = ({} if not parts else _per_shard_totals(
+        reduce(DataFrame.unionByName, parts), manifest["columns"],
+        manifest["seed"]))
+    want = {s: (m["rows"], m["sum64"])
             for s, m in manifest["shards"].items()}
     bad = sorted({s for s in set(per) | set(want)
                   if per.get(s) != want.get(s)}, key=int)
