@@ -209,6 +209,38 @@ def test_checkpoint_resume(spark, token_df, tmp_path):
         assert full[sid]["fingerprints"] == res[sid]["fingerprints"]
 
 
+def test_build_filter_table_keydef_guard(spark, token_df, tmp_path):
+    """r4 review finding: a resumed table built under an OLD key
+    definition must not silently mix with shards built under a new one
+    (probes derive the current definition and would miss the old shards
+    — silent false negatives). The _XORF_KEYDEF stamp fails the resume
+    loudly on mismatch, and refuses to resume an unverifiable legacy
+    (unstamped) table under an explicit key_def."""
+    import pytest
+
+    keys = D.doc_keys(token_df).select("key")
+    tag8 = D.shingle_key_def(8)
+
+    # stamped build + same-tag resume: fine (resume appends nothing new)
+    p1 = os.path.join(str(tmp_path), "stamped")
+    D.build_filter_table(keys, p1, kind="bfuse8", n_shards=4, key_def=tag8)
+    D.build_filter_table(keys, p1, kind="bfuse8", n_shards=4, key_def=tag8)
+
+    # definition changed (k=8 -> k=5): resume must raise, not mix
+    with pytest.raises(ValueError, match="key-definition mismatch"):
+        D.build_filter_table(keys, p1, kind="bfuse8", n_shards=4,
+                             key_def=D.shingle_key_def(5))
+
+    # legacy table (no stamp) + explicit key_def: unverifiable -> raise
+    p2 = os.path.join(str(tmp_path), "legacy")
+    D.build_filter_table(keys, p2, kind="bfuse8", n_shards=4)
+    with pytest.raises(ValueError, match="no key-definition stamp"):
+        D.build_filter_table(keys, p2, kind="bfuse8", n_shards=4,
+                             key_def=tag8)
+    # legacy + key_def=None keeps working (both unversioned)
+    D.build_filter_table(keys, p2, kind="bfuse8", n_shards=4)
+
+
 def test_skew_defusal_plan(spark, token_df):
     """Doc-length/source skew cannot reach the build: sharding is on the
     hashed key, which is uniform — assert shard sizes are balanced even

@@ -433,10 +433,47 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
     return tasks.mapInPandas(build_from_files, SHARD_SCHEMA)
 
 
+#: Sidecar file stamping a shard table with the KEY DEFINITION it was
+#: built under (see ``build_filter_table(key_def=...)``).
+KEYDEF_FILE = "_XORF_KEYDEF"
+
+
+def shingle_key_def(k: int) -> str:
+    """Canonical ``key_def`` tag for tables built from
+    :func:`shingle_keys` output. Bump the version whenever the shingle
+    fingerprint definition changes (v2 = scalar element accesses,
+    BENCH/ROUND4_NOTES.md; v1 was ``xxhash64(slice(tokens, i, k))``)."""
+    return f"shingle/xxhash64-scalar/v2/k={int(k)}"
+
+
+def _keydef_io(path: str):
+    from pyarrow import fs as pafs
+
+    fsys, base = pafs.FileSystem.from_uri(path)
+    return fsys, f"{base.rstrip('/')}/{KEYDEF_FILE}"
+
+
+def _read_keydef(path: str) -> str | None:
+    from pyarrow import fs as pafs
+
+    fsys, p = _keydef_io(path)
+    if fsys.get_file_info(p).type == pafs.FileType.NotFound:
+        return None
+    with fsys.open_input_stream(p) as fh:
+        return fh.read().decode("utf-8").strip()
+
+
+def _write_keydef(path: str, tag: str) -> None:
+    fsys, p = _keydef_io(path)
+    fsys.create_dir(p.rsplit("/", 1)[0], recursive=True)
+    with fsys.open_output_stream(p) as fh:
+        fh.write(tag.encode("utf-8"))
+
+
 def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
                        n_shards: int | None = None, key_col: str = "key",
                        resume: bool = True, stage_dir: str | None = None,
-                       **kw) -> DataFrame:
+                       key_def: str | None = None, **kw) -> DataFrame:
     """Checkpoint-resumable build: writes the shard table as parquet.
 
     Shards are append-only and deterministic (fixed seed schedule from
@@ -448,6 +485,19 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
     ``build_filter_df_staged`` (JVM shuffle → parquet stage + shuffle-free
     python file-read stage — the faster path; see that function). Resume
     semantics are identical: pending keys are filtered before staging.
+
+    ``key_def`` names the DEFINITION of the key column (e.g.
+    ``shingle_key_def(8)`` for :func:`shingle_keys` output). It is
+    stamped into a ``_XORF_KEYDEF`` sidecar on first build and checked on
+    every resume/append: resuming a table built under a different key
+    definition would mark old-definition shards "done" and build the rest
+    under the new one — a mixed-key table whose probes (which derive keys
+    with the CURRENT definition) silently miss the old shards, violating
+    the zero-false-negative contract. Mismatch raises instead. A table
+    with no sidecar is legacy-unversioned: resuming it with an explicit
+    ``key_def`` also raises (compatibility can't be proven — rebuild at a
+    fresh path, or keep ``key_def=None`` if the definition truly never
+    changed).
     """
     spark = keys_df.sparkSession
     done_ids: set[int] = set()
@@ -461,6 +511,19 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
             # probe loaders key by shard_id — but rebuilding every shard
             # on a flaky listing is still wrong)
             done_ids = set()
+    existing = _read_keydef(path) if resume else None
+    if existing is not None and key_def != existing:
+        raise ValueError(
+            f"key-definition mismatch resuming {path!r}: table was "
+            f"built under {existing!r}, current build derives "
+            f"{key_def!r}. Mixed-key shards would probe as silent "
+            f"false negatives — rebuild the table at a fresh path.")
+    if done_ids and existing is None and key_def is not None:
+        raise ValueError(
+            f"table at {path!r} has no key-definition stamp (built "
+            f"before versioning); cannot prove it matches "
+            f"{key_def!r}. Rebuild at a fresh path, or pass "
+            f"key_def=None only if the definition never changed.")
 
     if n_shards is None:
         keys = keys_df.select(F.col(key_col).alias("key")).distinct()
@@ -482,6 +545,11 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
                                    key_col=key_col, **kw)
     if done_ids:
         shard_df = shard_df.where(~F.col("shard_id").isin(list(done_ids)))
+    # stamp BEFORE the data append: a crash in between leaves a stamped
+    # empty/partial table that resumes cleanly, whereas data-then-stamp
+    # could strand an unstamped table that later resumes refuse
+    if key_def is not None and existing is None:
+        _write_keydef(path, key_def)
     shard_df.write.mode("append").parquet(path)
     return spark.read.parquet(path)
 
