@@ -891,7 +891,14 @@ def q_embedding_neardup(spark, sf_dir):
                      (F.col("la") == F.col("lb")).alias("same_label"))
              .where(F.col("sim") >= 0.30)
              .localCheckpoint())  # reused by three actions below
-    approx = (embedding_neardup_pairs(emb, threshold=0.30,
+    # approx verify threshold sits BELOW the exact side's rounding
+    # boundary (round(sim,4) >= 0.30 admits true cosine >= 0.29995):
+    # verifying unrounded >= 0.30 would make boundary pairs in
+    # [0.29995, 0.30) unreachable by the approx path regardless of LSH
+    # quality, deterministically eating the recall slack (r4 review
+    # finding). Extras below the boundary cost nothing — the recall
+    # join is a semi-join against exact.
+    approx = (embedding_neardup_pairs(emb, threshold=0.2999,
                                       n_planes=4, n_tables=24)
               .select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib")))
     n_exact = exact.count()
@@ -931,7 +938,9 @@ def q_embedding_neardup_ivf(spark, sf_dir):
     emb = (load(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") < NEARDUP_TRUTH_SLICE))
     cent = ivf_train(emb, n_lists=8, sample_size=2000, seed=13)
-    approx = (embedding_neardup_ivf(emb, cent, threshold=0.30, nprobe=4)
+    # 0.2999 not 0.30: the approx verify must clear the exact side's
+    # 4dp rounding boundary (see q_embedding_neardup)
+    approx = (embedding_neardup_ivf(emb, cent, threshold=0.2999, nprobe=4)
               .select("id_a", "id_b"))
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("e_a"))
