@@ -480,11 +480,18 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
                               .alias("cp"))
                .groupBy(id_col)
                .agg(F.collect_set("cp").alias("__cov")))
-    # strike by positional lambda over the doc's own token array (filter
-    # preserves order) — no per-token explode of the corpus; covered list
-    # is per-doc and bounded by the doc's length
-    kept_sql = ("filter(__t, (t, i) -> "
-                "NOT array_contains(coalesce(__cov, array()), i))")
+    # strike via set difference on positions: array_except builds a hash
+    # set of __cov once, so the strike is O(n + |cov|) per doc —
+    # a per-token array_contains lambda would re-scan the covered list
+    # for every token, O(n·|cov|), quadratic on exactly the long
+    # heavily-duplicated docs this operator targets (r4 review finding).
+    # array_except keeps first-argument order (and position lists are
+    # duplicate-free), so the re-join preserves token order; the size()
+    # guard keeps sequence() from emitting [0, -1] on an empty array.
+    kept_sql = ("case when size(__t) = 0 then __t else "
+                "transform(array_except(sequence(0, size(__t) - 1), "
+                "coalesce(__cov, array())), i -> element_at(__t, i + 1)) "
+                "end")
     return (toks.join(covered, id_col, "left")
             .select(F.col(id_col),
                     F.size("__t").cast("long").alias("n_tokens"),
