@@ -1774,6 +1774,31 @@ def test_stream_delivery_empty_batch_commit_and_verify(spark, tmp_path):
     assert verify_streamed_delivery(spark, out)["ok"]
 
 
+def test_operators_reject_reserved_temp_columns(spark):
+    """r4 review finding: operators project '__'-prefixed scratch columns
+    onto the caller frame and drop them on the way out — a caller column
+    with the same name was silently overwritten AND removed. The reserved
+    namespace now fails loudly."""
+    import pytest
+    from xorf_spark.operators.dedup import minhash_signatures
+    from xorf_spark.operators.text import (doc_fingerprint, gopher_rules,
+                                           stratified_take)
+
+    base = spark.createDataFrame(
+        [("d1", "some text here", ["some", "text", "here"])],
+        "doc_id string, text string, tokens array<string>")
+    for df, call in [
+        (base.withColumn("__sh", F.lit(1)),
+         lambda d: minhash_signatures(d, num_perm=4)),
+        (base.withColumn("__w", F.lit(1)), gopher_rules),
+        (base.withColumn("__fw", F.lit(1)), doc_fingerprint),
+        (base.withColumn("__rk", F.lit(1)),
+         lambda d: stratified_take(d, ["text"], 1)),
+    ]:
+        with pytest.raises(ValueError, match="reserved temp column"):
+            call(df)
+
+
 def test_read_documents_jsonl_good_and_corrupt(spark, tmp_path):
     """Explicit-schema JSONL ingest: parsed rows carry the document schema,
     unparseable lines land in the corrupt quarantine frame, and a

@@ -44,7 +44,9 @@ def shingle_keys(df: DataFrame, text_col: str = "text",
     # (xxhash64 folds each word separately, so "a b"+"c" vs "a"+"b c"
     # collide no more than the joined form did).
     from ..functions import shingle_hashes_sql
+    from ._util import reserve_temp_cols
 
+    reserve_temp_cols(df, "__w")
     return (df.withColumn("__w", F.expr(f"split({text_col}, ' ')"))
             .select(F.col(id_col), F.explode(
                 F.expr(shingle_hashes_sql("__w", n))).alias("key")))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import shingle_hashes_sql
+from ._util import reserve_temp_cols
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | str,
@@ -80,6 +81,7 @@ def minhash_signatures(df: DataFrame, tokens_col: str = "tokens",
     # token-slice ARRAY per (permutation, shingle) — measured 11.7×
     # slower at num_perm=64, shingle=3, 20k synthetic docs
     # (BENCH/ROUND4_NOTES.md "MinHash signature A/B").
+    reserve_temp_cols(df, "__sh")
     base = shingle_hashes_sql(tokens_col, shingle)
     # aggregate/least fold, not array_min(transform(...)): the transform
     # form materializes a per-(row, permutation) long array before the

@@ -38,6 +38,9 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     from ..functions.registry import md5long
 
     key = md5long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    from ._util import reserve_temp_cols
+
+    reserve_temp_cols(df, "__pid")
     keyed = df.withColumn("pack_key", key)
     if num_partitions:
         keyed = keyed.repartitionByRange(num_partitions, "pack_key")

@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import reserve_temp_cols
+
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "de": ["der", "die", "und", "das", "ist", "ein"],
@@ -96,6 +98,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     # lambdas, so inlining split() inside the gram transform re-splits the
     # document per gram position — O(words²) regex work per doc (measured
     # 4× wall-clock on the documents table).
+    reserve_temp_cols(df, "__w", "__ln")
     d = (df.withColumn("__w", F.split(F.col(text_col), r"\s+"))
          .withColumn("__ln", F.split(F.col(text_col), r"\n")))
     n_words = F.greatest(F.size("__w"), F.lit(1))
@@ -222,6 +225,7 @@ def stratified_take(df: DataFrame, strata_cols: list[str], n_per_stratum: int,
     h = _selection_hash(id_col, salt)
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(),
                                                 F.col(id_col).asc())
+    reserve_temp_cols(df, "__rk")
     ranked = df.withColumn("__rk", F.row_number().over(w))
     out = ranked.where(F.col("__rk") <= n_per_stratum)
     if rank_col is None:
@@ -245,6 +249,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     expr = (f"aggregate(sequence(1, greatest(size(__fw) - {k} + 1, 1)), "
             f"9223372036854775807L, "
             f"(acc, j) -> least(acc, xxhash64({elems})))")
+    reserve_temp_cols(df, "__fw")
     return (df.withColumn("__fw", F.expr(f"split({text_col}, '\\\\s+')"))
             .withColumn(out_col, F.expr(expr))
             .drop("__fw"))
