@@ -22,9 +22,12 @@ the same row fold to 0, so swapping one duplicate pair for another (or a
 whole batch of duplicate pairs for a different one) would keep the checksum
 fixed, which is exactly the blind spot a duplicate-heavy pre-dedup delivery
 would hit naturally. Under the sum, k copies contribute k·h: only the
-2^-64-probability accidental collision remains. The sum is computed in
-decimal(20,0) (sum type decimal(30,0)) so ANSI mode cannot overflow below
-~5e10 rows per shard, then wrapped to 64 bits driver-side.
+2^-64-probability accidental collision remains. The sum runs as two LONG
+sums over the hash's 32-bit halves (codegen-friendly — measured faster
+than both bit_xor and a decimal(20,0) sum) recombined mod 2**64
+driver-side; congruence mod 2**64 survives even a wrapped long sum, and
+ANSI mode would raise (loudly, never silently wrong) only past ~2.1e9
+rows in one shard — three decades above the size-targeted shard design.
 """
 
 from __future__ import annotations
@@ -121,15 +124,22 @@ def _hash_sql(df: DataFrame, seed: int) -> str:
     return f"xxhash64({cols}, concat_ws('', {mask}), {seed})"
 
 
-def _sum_sql(df: DataFrame, seed: int) -> str:
-    """Order-independent multiset checksum: wrapping 64-bit SUM of per-row
-    hashes (see module docstring for why not bit_xor). Summed as
-    decimal(20,0) so ANSI mode cannot overflow; wrapped driver-side."""
-    return f"sum(cast({_hash_sql(df, seed)} as decimal(20, 0)))"
+def _sum_aggs(df: DataFrame, seed: int) -> list:
+    """Order-independent multiset checksum, as two LONG sum aggregates
+    over the row hash's unsigned 32-bit halves (see module docstring for
+    why a sum and not bit_xor, and why halves and not decimal).
+    Recombine with :func:`_combine64`."""
+    h = _hash_sql(df, seed)
+    return [F.expr(f"sum(shiftrightunsigned({h}, 32))").alias("__sum_hi"),
+            F.expr(f"sum({h} & 4294967295)").alias("__sum_lo")]
 
 
-def _wrap64(v) -> int:
-    return int(v) % (1 << 64) if v is not None else 0
+def _combine64(hi, lo) -> int:
+    """(sum_hi, sum_lo) -> sum of unsigned row hashes mod 2**64. The
+    congruence holds even if either long sum wrapped (a ≡ a mod 2**64)."""
+    if hi is None:  # empty group
+        return 0
+    return ((int(hi) << 32) + int(lo)) % (1 << 64)
 
 
 def _per_shard_totals(df_with_shard: DataFrame, data_cols: list[str],
@@ -137,10 +147,12 @@ def _per_shard_totals(df_with_shard: DataFrame, data_cols: list[str],
     """``{shard: (rows, sum64)}`` via one partial-agg scan — the shared
     accounting kernel of write, verify, and the streaming delivery."""
     hash_src = df_with_shard.select(*data_cols)
-    return {str(int(r[_SHARD_COL])): (int(r["rows"]), _wrap64(r["sum64"]))
+    return {str(int(r[_SHARD_COL])): (int(r["rows"]),
+                                      _combine64(r["__sum_hi"],
+                                                 r["__sum_lo"]))
             for r in (df_with_shard.groupBy(_SHARD_COL)
                       .agg(F.count(F.lit(1)).alias("rows"),
-                           F.expr(_sum_sql(hash_src, seed)).alias("sum64"))
+                           *_sum_aggs(hash_src, seed))
                       .collect())}
 
 

@@ -50,9 +50,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _fs,
-                              _per_shard_totals, _row_hash, _sum_sql,
-                              _wrap64)
+from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _combine64, _fs,
+                              _per_shard_totals, _row_hash, _sum_aggs)
 
 
 def _manifest_path(base: str) -> str:
@@ -85,8 +84,8 @@ def _frame_fingerprint(df: DataFrame, columns: list[str],
     partial-agg pass; equals the mod-2**64 sum of the per-shard totals."""
     d = df.select(*columns)
     r = d.agg(F.count(F.lit(1)).alias("rows"),
-              F.expr(_sum_sql(d, seed)).alias("sum64")).collect()[0]
-    return int(r["rows"]), _wrap64(r["sum64"])
+              *_sum_aggs(d, seed)).collect()[0]
+    return int(r["rows"]), _combine64(r["__sum_hi"], r["__sum_lo"])
 
 
 def make_batch_processor(path: str, n_shards: int, columns: list[str],
