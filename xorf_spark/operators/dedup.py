@@ -457,8 +457,11 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     ``id_col``. Covered positions are exploded only for HOT occurrences
     (bounded by actual duplication mass, not corpus size), then distinct-ed
     per (doc, position) before the anti-join — never O(corpus × window).
-    On real token-id data you'd window over the int tokens and key the count
-    on ``xxhash64(win)``; strings are kept here for oracle parity.
+    Windows are keyed by a two-seed 128-bit hash (see the inline note):
+    the window text never materializes and the count shuffle moves 16
+    bytes per window instead of the window string. The oracle (DuckDB)
+    counts string windows instead — identical output unless a 2^-128
+    double collision strikes, which no realistic scale produces.
     """
     k = int(window)
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ")
@@ -466,10 +469,21 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     elems = ", ".join(f"try_element_at(__t, i + {j + 1})" for j in range(k))
     # stride-1 windows: starts 0 .. n-k (docs shorter than k emit none);
     # scalar element accesses, not slice() — Catalyst does not hoist
-    # allocations out of lambdas (same lesson as segment_dedup)
+    # allocations out of lambdas (same lesson as segment_dedup). The
+    # count/semi-join KEY is a two-seed 128-bit hash of the window, not
+    # the window string: no ~(k × word) string is ever materialized, and
+    # the count shuffle moves 16-byte structs instead of ~8k-byte text
+    # (measured 1.9× end-to-end and 0.61 → 0.77 two-level scaling
+    # efficiency at 9.6M windows — the string bytes were the shuffle
+    # wall; BENCH/SCALING_2v8.md). Hashing the k tokens as separate
+    # xxhash64 args folds each word independently, so shifted-boundary
+    # windows ("a b"+"c" vs "a"+"b c") collide no more than the joined
+    # string did; a cross-window collision needs BOTH 64-bit seeds to
+    # agree — 2^-128, birthday-safe past 10^18 windows.
     win_sql = (f"case when size(__t) >= {k} then "
                f"transform(sequence(0, size(__t) - {k}), "
-               f"i -> concat_ws(' ', {elems})) "
+               f"i -> named_struct('h1', xxhash64({elems}), "
+               f"'h2', xxhash64({elems}, 7))) "
                f"else array() end")
     wins = toks.select(F.col(id_col),
                        F.posexplode(F.expr(win_sql)).alias("pos", "win"))
