@@ -68,10 +68,16 @@ def main():
                     rec["results"])
         os.unlink(tmp)
     names = sorted({n for res in per_scale.values() for n in res})
+    sys.path.insert(0, REPO)
+    from xorf_spark.queries import GATE_TAIL
     summary = {
         "scales": sf_dirs,
         "return_codes": rcs,
         "n_queries": len(names),
+        # which queries sit PAST the external driver's ~50-row window —
+        # recorded in the artifact itself (not just GATE_ORDER.md) so the
+        # exclusion is explicit; every one is tri-scale green below
+        "driver_gate_excluded": list(GATE_TAIL),
         # a scale whose subprocess died before appending its CHECK_JSON
         # line must NOT be silently dropped from the all-pass verdict:
         # every requested scale has to be present with rc=0 AND all green
