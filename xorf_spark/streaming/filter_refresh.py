@@ -173,7 +173,8 @@ def compact_key_log(spark: SparkSession, table_path: str) -> int:
 def stream_filter_refresh(stream_df: DataFrame, table_path: str,
                           key_col: str = "key", kind: str = "bfuse8",
                           n_shards: int = 16, refresh_every: int = 1,
-                          stage_dir: str | None = None):
+                          stage_dir: str | None = None,
+                          key_def: str | None = None):
     """``writeStream``-able sink maintaining the ever-seen-keys filter.
 
     Returns a ``DataStreamWriter`` (caller adds ``.option("checkpoint..")``
@@ -185,6 +186,12 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
     over every key delivered up to the last refresh (the filter
     contract). The current version and its predecessor are retained;
     older version dirs (and the build's staging spill) are deleted.
+
+    ``key_def`` (optional) names the definition of the key column the
+    caller derives upstream (see ``dataflow.build_filter_table``): each
+    rebuilt version is stamped with it, so a crashed rebuild resumed by
+    a NEWER deployment with a changed key derivation fails loudly
+    instead of mixing key definitions within one version dir.
     """
     keys_path = os.path.join(table_path, "keys")
 
@@ -215,7 +222,8 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
                          if stage_dir else None)
         build_filter_table(
             all_keys, os.path.join(table_path, version), kind=kind,
-            n_shards=n_shards, key_col="key", stage_dir=version_stage)
+            n_shards=n_shards, key_col="key", stage_dir=version_stage,
+            key_def=key_def)
         if version_stage is not None:
             sfs, sbase = _fs(version_stage)
             sfs.delete_dir(sbase)
