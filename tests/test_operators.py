@@ -405,6 +405,96 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     assert len(keys) == len(set(keys)) == 1500  # 0..1499 exactly once
 
 
+def test_streaming_stateful_dedup_single_bucket(spark, tmp_path):
+    """r4 review finding: Java shifts mask the distance mod 64, so
+    n_buckets=1 made shiftrightunsigned(key, 64) the IDENTITY — every
+    distinct key its own state entry and raw keys in the bucket column.
+    With the p==0 guard the single bucket must be literally 0 and dedup
+    must still hold."""
+    from pyspark.sql import functions as F
+    from xorf_spark.streaming.stateful_dedup import stream_exact_dedup
+
+    src = str(tmp_path / "in")
+    b = spark.range(200).select(F.xxhash64("id").alias("key"))
+    b.unionByName(b).write.mode("overwrite").parquet(src + "/b1")
+    stream = spark.readStream.schema("key long").parquet(src + "/*")
+    out = stream_exact_dedup(stream, "key", n_buckets=1)
+    q = (out.writeStream.format("memory").queryName("dedup_b1")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select key, bucket from dedup_b1").collect()
+    assert len(rows) == 200
+    assert {r["bucket"] for r in rows} == {0}
+
+
+def test_stream_windowed_sketch_null_ts_and_kind_validation(spark, tmp_path):
+    """r4 review findings: (a) a NULL event time must be dropped
+    stream-side — in retention mode it previously became a (group, None)
+    state key whose int(None) poison-pilled every replay; (b) a valued /
+    unknown kind must fail at WIRING time, not executor-side."""
+    import pytest
+    from pyspark.sql import functions as F
+    from xorf_spark.streaming.sketch_window import stream_windowed_sketch
+
+    src = str(tmp_path / "in")
+    good = spark.range(100).select(
+        F.xxhash64("id").alias("k"), F.lit("g").alias("grp"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"))
+    bad = spark.sql("select cast(1 as bigint) k, 'g' grp, "
+                    "cast(null as timestamp) ts")
+    good.unionByName(bad).write.mode("overwrite").parquet(src + "/b1")
+    stream = spark.readStream.schema(
+        "k long, grp string, ts timestamp").parquet(src + "/*")
+    out = stream_windowed_sketch(stream, "k", "grp", kind="hll",
+                                 retention="1 hour", window="1 hour")
+    # poll the sink, do NOT processAllAvailable/awaitTermination: with
+    # ProcessingTimeTimeout the engine keeps scheduling (empty) batches
+    # to fire future timeouts, so the TTL-mode query never goes idle
+    q = (out.writeStream.format("memory").queryName("swsk_null")
+         .outputMode("update").start())
+    import time as _time
+    n = None
+    for _ in range(120):
+        if q.exception() is not None:
+            break
+        got = spark.sql(
+            "select sum(n_rows) n from swsk_null").collect()[0]["n"]
+        if got:
+            n = got
+            break
+        _time.sleep(1)
+    assert q.exception() is None            # null ts did not poison it
+    q.stop()
+    assert n == 100                          # the null-ts row was dropped
+
+    for kind in ("kll", "tdigest", "hllx"):
+        with pytest.raises(ValueError):
+            stream_windowed_sketch(stream, "k", "grp", kind=kind)
+
+
+def test_stream_delivery_wiring_mismatch_refused(spark, tmp_path):
+    """r4 review finding: restarting the delivery stream with a changed
+    seed would re-fingerprint a genuine replay as a new lineage and
+    silently append the batch twice; changed n_shards would mix two
+    assignment functions. Both must refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from xorf_spark.streaming.delivery import make_batch_processor
+
+    out = str(tmp_path / "out")
+    df = spark.range(50).select(
+        F.format_string("k%d", "id").alias("key"), F.col("id").alias("v"))
+    make_batch_processor(out, 4, ["key", "v"], key_col="key", seed=17)(df, 0)
+    for kwargs in ({"seed": 42}, {}, {"key_col": None}):
+        n_shards = 8 if not kwargs else 4
+        p = make_batch_processor(out, n_shards, ["key", "v"],
+                                 **({"key_col": "key", "seed": 17}
+                                    | kwargs))
+        with pytest.raises(ValueError, match="wired with"):
+            p(df, 1)
+
+
 def test_connected_components_planted_clusters(spark):
     """Planted topology: a 5-chain, a 4-ring, a 2-pair, and a star — labels
     must converge to the min node id of each component, covering multi-hop

@@ -51,6 +51,28 @@ def _fs(path: str):
     return fsys, base.rstrip("/")
 
 
+def _move_replace(fsys, src: str, dst: str) -> None:
+    """``fsys.move`` that tolerates an existing destination.
+
+    POSIX rename and S3 copy-PUT replace atomically, but HDFS rename
+    REFUSES an existing destination (r4 review finding — the second
+    pointer/manifest swap would crash the stream there). Fallback:
+    delete the stale destination and retry the move. On HDFS this opens
+    a small no-pointer window a concurrent reader can observe — readers
+    of these files already treat not-found as "retry/none" — while the
+    atomic single-rename path is preserved everywhere rename replaces.
+    """
+    try:
+        fsys.move(src, dst)
+    except OSError:
+        from pyarrow import fs as pafs
+
+        if fsys.get_file_info(dst).type == pafs.FileType.NotFound:
+            raise  # move failed for some other reason — surface it
+        fsys.delete_file(dst)
+        fsys.move(src, dst)
+
+
 def _row_hash(df: DataFrame, seed: int):
     """Order-independent per-row 64-bit hash over ALL columns.
 
@@ -86,6 +108,11 @@ def write_training_shards(df: DataFrame, path: str,
     whose result is one KB-sized row per shard (driver holds the
     manifest only).
     """
+    from ._util import reserve_temp_cols
+
+    # re-ingesting a prior delivery without dropping its partition
+    # column would silently re-assign (and then certify) the overwrite
+    reserve_temp_cols(df, _SHARD_COL)
     n_rows = df.count()
     n_shards = max(1, math.ceil(n_rows / max(1, int(rows_per_shard))))
     key = (F.xxhash64(F.col(key_col), F.lit(seed)) if key_col

@@ -81,14 +81,23 @@ def _partial_row(pid: int, kind: str, sk, n: int, t0: float) -> dict:
             "n_rows": n, "build_secs": time.time() - t0}
 
 
+def _check_kind(kind: str) -> None:
+    """Driver-side wiring check, shared by every entry point: an unknown
+    kind must raise HERE, not as an executor task failure after a full
+    shuffle (r4 review finding — build_sketch_table/grouped_sketch were
+    deferring to make_sketch inside the worker)."""
+    if kind not in SKETCH_KINDS:
+        raise ValueError(
+            f"unknown sketch kind {kind!r}; one of {SKETCH_KINDS}")
+
+
 def partial_sketches(df: DataFrame, col: str, kind: str,
                      params: dict | None = None,
                      weight_col: str | None = None) -> DataFrame:
     """One sketch per input partition via ``mapInArrow`` — the shuffle-free
     map-side combine. Column pruning happens before the python stage (only
     ``col`` [+ ``weight_col``] cross the Arrow boundary)."""
-    if kind not in SKETCH_KINDS:
-        raise ValueError(f"unknown sketch kind {kind!r}; one of {SKETCH_KINDS}")
+    _check_kind(kind)
     params = dict(params or {})
     cols = [F.col(col).alias("v")]
     if weight_col is not None:
@@ -204,8 +213,7 @@ def sketch_agg_staged(df: DataFrame, col: str, kind: str, stage_dir: str,
     on a cluster); caller owns cleanup."""
     from ..dataflow import _make_stage_lister
 
-    if kind not in SKETCH_KINDS:
-        raise ValueError(f"unknown sketch kind {kind!r}; one of {SKETCH_KINDS}")
+    _check_kind(kind)
     params = dict(params or {})
     spark = df.sparkSession
     cols = [F.col(col).alias("v")]
@@ -336,6 +344,7 @@ def grouped_sketch(df: DataFrame, group_cols: list[str], col: str, kind: str,
     payloads shuffle into a per-group merge. Keyed-sketch output state is
     byte-identical to the single-phase build (max/sum/or merges)."""
     params = dict(params or {})
+    _check_kind(kind)
     df = _drop_null_keys(df, col, kind)
     key_fields = [df.schema[c] for c in group_cols]
     out_schema = StructType(key_fields + [
@@ -446,6 +455,7 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
     same class as the ``_stage_keys`` fix). ``sketch_from_table`` also
     dedupes ``part_id`` on read as a belt-and-braces backstop."""
     params = dict(params or {})
+    _check_kind(kind)
     spark = df.sparkSession
     done: set[int] = set()
     if resume:

@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _combine64, _fs,
-                              _per_shard_totals, _row_hash, _sum_aggs)
+                              _move_replace, _per_shard_totals, _row_hash,
+                              _sum_aggs)
 
 
 def _manifest_path(base: str) -> str:
@@ -75,7 +76,9 @@ def _write_manifest_atomic(path: str, manifest: dict, tag) -> None:
     with fsys.open_output_stream(tmp) as fh:
         fh.write(json.dumps(manifest, indent=1, sort_keys=True)
                  .encode("utf-8"))
-    fsys.move(tmp, _manifest_path(base))
+    # replace-aware: HDFS rename refuses an existing destination, which
+    # would crash every manifest update after the first
+    _move_replace(fsys, tmp, _manifest_path(base))
 
 
 def _frame_fingerprint(df: DataFrame, columns: list[str],
@@ -94,12 +97,35 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
     tests, manual backfills of a specific batch id)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators._util import reserve_temp_cols
+
+        # a stream re-ingesting a prior delivery without dropping the
+        # partition column would have its '__xorf_shard' silently
+        # overwritten by the new assignment — and the manifest checksums
+        # would certify the overwritten values (r4 review finding)
+        reserve_temp_cols(batch_df, _SHARD_COL)
         manifest = read_stream_manifest(path)
         if manifest is None:
             manifest = {"n_rows": 0, "n_shards": int(n_shards),
                         "seed": int(seed), "key_col": key_col,
                         "columns": columns, "generation": 0,
                         "batches": [], "shards": {}}
+        else:
+            # wiring args must match the delivery they extend: a restart
+            # with a changed seed re-fingerprints a genuine replay as a
+            # "new lineage" and silently appends the batch a second time;
+            # a changed n_shards mixes two assignment functions in one
+            # delivery (r4 review finding — the loud-refusal twin of
+            # build_filter_table's key_def check)
+            want = {"n_shards": int(n_shards), "seed": int(seed),
+                    "key_col": key_col, "columns": list(columns)}
+            got = {k: manifest[k] for k in want}
+            if got != want:
+                raise ValueError(
+                    f"delivery at {path!r} was written with {got}, but "
+                    f"this stream is wired with {want} — exactly-once "
+                    f"accounting and shard assignment both key on these; "
+                    f"re-wire to match or deliver to a fresh path")
         gen = int(manifest.get("generation", 0))
         prior = next((b for b in manifest["batches"]
                       if b["batch_id"] == batch_id

@@ -54,17 +54,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..dataflow import FilterTable, build_filter_table
-
-
-def _fs(table_path: str):
-    """(filesystem, base_path) via pyarrow.fs — local paths AND object
-    stores (s3://, hdfs://). All pointer/prune I/O here runs on the
-    DRIVER (foreachBatch callbacks execute driver-side), so no worker
-    needs filesystem credentials beyond what the writes already use."""
-    from pyarrow import fs as pafs
-
-    fsys, base = pafs.FileSystem.from_uri(table_path)
-    return fsys, base.rstrip("/")
+# shared (filesystem, base) resolver + replace-aware rename: all
+# pointer/prune I/O here runs on the DRIVER (foreachBatch callbacks
+# execute driver-side), so no worker needs filesystem credentials
+# beyond what the writes already use
+from ..operators.sink import _fs, _move_replace
 
 
 def _pointer_path(base: str) -> str:
@@ -206,6 +200,26 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
         if batch_id % refresh_every != refresh_every - 1:
             return
         prev, _ = pointer_versions(table_path)
+        if prev is not None and prev.endswith(f"b{batch_id}"):
+            # crash between the pointer swap and Spark's checkpoint
+            # commit: the pointer's CURRENT version was built by this
+            # very batch, and the rebuild is deterministic from the
+            # global key log — skip it if the log still holds exactly
+            # the keys that build saw (one distinct-count pass vs a
+            # full rebuild; r4 review finding). The key log only grows,
+            # so equality is exact, never coincidence: a checkpoint
+            # RESET whose colliding batch id delivered genuinely new
+            # keys raises the count and the rebuild proceeds.
+            from pyspark.errors import AnalysisException
+            try:
+                built = (spark.read.parquet(
+                    os.path.join(table_path, prev))
+                    .agg(F.sum("n_keys")).collect()[0][0])
+            except AnalysisException:
+                built = None  # version dir unreadable: rebuild
+            if built is not None and int(built) == (
+                    spark.read.parquet(keys_path).distinct().count()):
+                return
         # generation = current pointer's + 1: never collides with ANY
         # retained dir across checkpoint resets (batch ids restart at 0;
         # a name collision with a COMPLETE old dir would make the
@@ -239,7 +253,9 @@ def stream_filter_refresh(stream_df: DataFrame, table_path: str,
         content = f"{version} {prev}" if prev else version
         with fsys.open_output_stream(tmp) as fh:
             fh.write(content.encode())
-        fsys.move(tmp, _pointer_path(base))
+        # replace-aware: HDFS rename refuses an existing destination,
+        # which would crash the second and every later refresh there
+        _move_replace(fsys, tmp, _pointer_path(base))
         # prune: keep exactly the versions the pointer records (current +
         # predecessor). Never trust version-number ordering, and never a
         # listing-derived predecessor: on a crash-after-swap replay the

@@ -97,6 +97,11 @@ def _make_fold_fn(kind: str, params: dict, retention=None,
             state.setTimeoutTimestamp(
                 max(target, state.getCurrentWatermarkMs() + 1))
         elif retention is not None:
+            # retention reaches here as int MILLISECONDS (converted at
+            # wiring): pyspark's GroupState.setTimeoutDuration validates
+            # int-only, so a "1 hour"-style string would crash the fold
+            # executor-side — and in a stream every checkpoint replay
+            # re-fails there (latent bug surfaced by the r4 null-ts test)
             state.setTimeoutDuration(retention)
         yield pd.DataFrame([{
             "group": key[0],
@@ -153,7 +158,12 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
     * ``retention`` (processing-time TTL): entries idle longer than the
       TTL are evicted; any late row is still folded if it arrives before
       eviction. Simple, but eviction depends on the wall clock, not the
-      data.
+      data. Liveness note: with ProcessingTimeTimeout the engine keeps
+      scheduling (empty) micro-batches to fire future timeouts, so the
+      query never reports idle — ``processAllAvailable()`` blocks
+      forever in this mode (poll the sink or use explicit triggers).
+      Accepts ``"6 hours"``-style strings or int milliseconds (converted
+      at wiring; pyspark's ``setTimeoutDuration`` is int-only).
     * ``watermark`` (event-time, production semantics): sets
       ``withWatermark(ts_col, watermark)`` and event-time timeouts. Rows
       later than the watermark are DROPPED before the state function (so a
@@ -164,6 +174,16 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
       processing speed.
     """
     params = dict(params or {})
+    from ..sketches.kernels import KEYED_KINDS
+    if kind not in KEYED_KINDS:
+        # validate at WIRING time, like the batch twin
+        # (sketches.partial_sketches): an unknown or valued kind (kll/
+        # tdigest fold values, not hashed keys) would otherwise fail only
+        # inside the executor after the shuffle — and in a stream, every
+        # checkpoint replay re-fails there (r4 review finding)
+        raise ValueError(
+            f"kind={kind!r} is not a keyed sketch; expected one of "
+            f"{KEYED_KINDS}")
     if retention is not None and watermark is not None:
         raise ValueError("pass either retention (processing-time TTL) or "
                          "watermark (event-time), not both")
@@ -182,7 +202,15 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
         # for Spark to drop late rows against the watermark; fold() only
         # reads pdf["key"], so the extra column is inert data
         cols.append(F.col(ts_col))
-    bucketed = src.where(F.col(key_col).isNotNull()).select(*cols)
+    # null TIMESTAMPS are dropped too: window(NULL).start is NULL, and a
+    # (group, NULL) state key reaches the fold's int(key[1]) as None —
+    # in retention/NoTimeout mode (no watermark to shed the row) that
+    # TypeError poison-pills the query: every checkpoint replay re-fails
+    # on the same row (r4 review finding). A null event time identifies
+    # no window, matching SQL aggregate null semantics.
+    bucketed = (src.where(F.col(key_col).isNotNull()
+                          & F.col(ts_col).isNotNull())
+                .select(*cols))
     if watermark is not None:
         timeout = GroupStateTimeout.EventTimeTimeout
         evict_after_ms = _interval_ms(window) + _interval_ms(watermark)
@@ -190,6 +218,11 @@ def stream_windowed_sketch(stream_df: DataFrame, key_col: str,
         timeout = (GroupStateTimeout.ProcessingTimeTimeout
                    if retention is not None else GroupStateTimeout.NoTimeout)
         evict_after_ms = None
+        if retention is not None:
+            # to int ms HERE: setTimeoutDuration is int-only in pyspark,
+            # and a wiring-time conversion also validates the spec before
+            # the stream starts
+            retention = _interval_ms(retention)
     return (bucketed.groupBy("group", "window_start")
             .applyInPandasWithState(
                 _make_fold_fn(kind, params, retention, evict_after_ms),

@@ -160,9 +160,14 @@ def stream_exact_dedup(stream_df: DataFrame, key_col: str = "key",
     # NULL keys are dropped stream-side: they identify nothing, and a
     # null-bearing long batch reaches pandas as float64, corrupting every
     # 64-bit key in it
-    cols = [F.col(key_col).alias("key"),
-            F.shiftrightunsigned(F.col(key_col), 64 - p).cast("long")
-            .alias("bucket")]
+    # p == 0 must short-circuit: Java shifts mask the distance mod 64,
+    # so shiftrightunsigned(key, 64) is the IDENTITY — every distinct
+    # key would become its own state entry (defeating the bounded-bucket
+    # sizing law) and the bucket column would carry raw keys (same guard
+    # as dataflow.bucket_col; r4 review finding)
+    bucket = (F.lit(0).cast("long") if p == 0 else
+              F.shiftrightunsigned(F.col(key_col), 64 - p).cast("long"))
+    cols = [F.col(key_col).alias("key"), bucket.alias("bucket")]
     horizon_ms = None
     if watermark is not None:
         # the event-time attribute must reach the stateful operator's
