@@ -240,6 +240,25 @@ def test_build_filter_table_keydef_guard(spark, token_df, tmp_path):
     # legacy + key_def=None keeps working (both unversioned)
     D.build_filter_table(keys, p2, kind="bfuse8", n_shards=4)
 
+    # r4 advice #2: resume=False still APPENDS to an existing table, so
+    # the stamp must govern it too — previously the guard read the stamp
+    # only under resume=True, letting resume=False both mix definitions
+    # and overwrite the sidecar with the new tag
+    with pytest.raises(ValueError, match="key-definition mismatch"):
+        D.build_filter_table(keys, p1, kind="bfuse8", n_shards=4,
+                             resume=False, key_def=D.shingle_key_def(5))
+    assert D._read_keydef(p1) == tag8  # sidecar NOT overwritten
+    # resume=False onto a non-empty UNSTAMPED table with an explicit
+    # key_def is equally unverifiable
+    with pytest.raises(ValueError, match="no key-definition stamp"):
+        D.build_filter_table(keys, p2, kind="bfuse8", n_shards=4,
+                             resume=False, key_def=tag8)
+    # resume=False on a FRESH path with a key_def stamps and builds
+    p3 = os.path.join(str(tmp_path), "fresh_norese")
+    D.build_filter_table(keys, p3, kind="bfuse8", n_shards=4,
+                         resume=False, key_def=tag8)
+    assert D._read_keydef(p3) == tag8
+
 
 def test_skew_defusal_plan(spark, token_df):
     """Doc-length/source skew cannot reach the build: sharding is on the

@@ -1960,3 +1960,142 @@ def test_embedding_neardup_ivf_oversize_list_refuses(spark, emb_df):
     cent = similarity.ivf_train(emb_df, n_lists=2)
     with pytest.raises(ValueError, match="max_list"):
         similarity.embedding_neardup_ivf(emb_df, cent, max_list=3)
+
+
+def test_embedding_neardup_ivf_pin_optout(spark, emb_df):
+    """r4 advice #4: embedding_neardup_ivf exposes the same pin=False
+    opt-out as its sibling operators (caller already persisted, or cannot
+    accept non-replicated localCheckpoint storage); results are identical
+    either way."""
+    corpus = emb_df.limit(60)
+    cent = similarity.ivf_train(corpus, n_lists=4)
+    pinned = similarity.embedding_neardup_ivf(corpus, cent, threshold=0.9)
+    free = similarity.embedding_neardup_ivf(corpus, cent, threshold=0.9,
+                                            pin=False)
+    key = lambda r: (r["id_a"], r["id_b"], round(r["cosine"], 12))
+    assert sorted(map(key, pinned.collect())) == \
+        sorted(map(key, free.collect()))
+
+
+# --- crash-safe replace-rename + manifest format guards (r4 advice) -------
+
+class _RenameRefusingFS:
+    """LocalFileSystem wrapper that refuses move() onto an existing
+    destination, like HDFS rename — forcing _move_replace's fallback.
+    ``die_after_aside=True`` simulates a crash between the rename-aside
+    and the final move (the window the r4 delete-then-move bug lost)."""
+
+    def __init__(self, die_after_aside=False):
+        from pyarrow import fs as pafs
+        self._fs = pafs.LocalFileSystem()
+        self._die_after_aside = die_after_aside
+        self._moves = 0
+
+    def move(self, src, dst):
+        from pyarrow import fs as pafs
+        if self._fs.get_file_info(dst).type != pafs.FileType.NotFound:
+            raise OSError(f"rename refused: destination exists: {dst}")
+        self._moves += 1
+        # only non-refused moves count: inside the fallback, move #1 is
+        # the rename-aside (dst -> dst.old) and move #2 is src -> dst —
+        # dying before #2 lands exactly in the crash window under test
+        if self._die_after_aside and self._moves == 2:
+            raise RuntimeError("simulated crash after rename-aside")
+        return self._fs.move(src, dst)
+
+    def __getattr__(self, name):  # delegate everything else
+        return getattr(self._fs, name)
+
+
+def test_move_replace_rename_aside(tmp_path):
+    """On rename-refusing filesystems the fallback must never leave a
+    window with NO committed value: it renames the old destination aside
+    and readers fall back to it (r4 advice #1 — delete-then-move lost the
+    manifest permanently on a crash between the two calls)."""
+    from xorf_spark.operators.sink import _move_replace, _read_with_fallback
+
+    # happy path: dst replaced, aside cleaned up
+    fs = _RenameRefusingFS()
+    dst = str(tmp_path / "POINTER")
+    (tmp_path / "POINTER").write_text("old")
+    (tmp_path / "new1").write_text("new1")
+    _move_replace(fs, str(tmp_path / "new1"), dst)
+    assert (tmp_path / "POINTER").read_text() == "new1"
+    assert not (tmp_path / "POINTER.old").exists()
+    assert _read_with_fallback(fs, dst) == b"new1"
+
+    # crash between rename-aside and the final move: dst missing, but the
+    # aside copy still holds the previous committed value and the reader
+    # recovers it — nothing was lost
+    fs2 = _RenameRefusingFS(die_after_aside=True)
+    (tmp_path / "new2").write_text("new2")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _move_replace(fs2, str(tmp_path / "new2"), dst)
+    assert not (tmp_path / "POINTER").exists()
+    assert (tmp_path / "POINTER.old").read_text() == "new1"
+    assert _read_with_fallback(fs2, dst) == b"new1"
+
+    # the healing retry (replayed batch rewrites src and swaps again)
+    # succeeds from that state: dst is absent so the plain move lands,
+    # and the stale aside is ignored while dst exists
+    (tmp_path / "new3").write_text("new3")
+    fs3 = _RenameRefusingFS()
+    _move_replace(fs3, str(tmp_path / "new3"), dst)
+    assert _read_with_fallback(fs3, dst) == b"new3"
+
+
+def test_stream_manifest_fallback_recovers_committed_batches(spark, tmp_path):
+    """A crashed manifest swap that left only _MANIFEST.json.old must NOT
+    be read as 'no manifest' (which would start a FRESH manifest and
+    orphan every committed batch, then verify the truncation as ok)."""
+    import json as _json
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest, verify_streamed_delivery)
+    out = str(tmp_path / "out")
+    a = spark.range(100).select(
+        F.format_string("a%d", "id").alias("key"), F.col("id").alias("v"))
+    process = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    process(a, 0)
+    m = read_stream_manifest(out)
+    # simulate the crash window: manifest renamed aside, dst missing
+    (tmp_path / "out" / "_MANIFEST.json").rename(
+        tmp_path / "out" / "_MANIFEST.json.old")
+    got = read_stream_manifest(out)
+    assert got == m                      # recovered, not None
+    assert verify_streamed_delivery(spark, out)["ok"]
+    # the replay extends the RECOVERED manifest (no orphaned batches)
+    b = spark.range(50).select(
+        F.format_string("b%d", "id").alias("key"), F.col("id").alias("v"))
+    process(b, 1)
+    m2 = read_stream_manifest(out)
+    assert m2["n_rows"] == 150 and len(m2["batches"]) == 2
+    assert verify_streamed_delivery(spark, out)["ok"]
+
+
+def test_stream_manifest_legacy_and_future_formats_refused(spark, tmp_path):
+    """r4 advice #3: a pre-v2 manifest (bare-int batches / xor64 shard
+    checksums) or an unknown future format must fail LOUDLY with guidance,
+    not crash with TypeError deep inside replay accounting."""
+    import json as _json
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest)
+    out = tmp_path / "legacy"
+    out.mkdir()
+    legacy = {"n_rows": 5, "n_shards": 2, "seed": 17, "key_col": "key",
+              "columns": ["key"], "batches": [0, 1],
+              "shards": {"0": {"rows": 5, "xor64": 123}}}
+    (out / "_MANIFEST.json").write_text(_json.dumps(legacy))
+    with pytest.raises(ValueError, match="legacy pre-v2 layout"):
+        read_stream_manifest(str(out))
+    # the foreachBatch callback refuses before touching any data
+    df = spark.range(3).select(F.col("id").cast("string").alias("key"))
+    process = make_batch_processor(str(out), 2, ["key"], key_col="key")
+    with pytest.raises(ValueError, match="legacy pre-v2 layout"):
+        process(df, 0)
+
+    future = {"format": 99, "n_rows": 0, "n_shards": 2, "seed": 17,
+              "key_col": "key", "columns": ["key"], "generation": 0,
+              "batches": [], "shards": {}}
+    (out / "_MANIFEST.json").write_text(_json.dumps(future))
+    with pytest.raises(ValueError, match="has format 99"):
+        read_stream_manifest(str(out))

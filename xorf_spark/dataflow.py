@@ -511,14 +511,27 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
             # probe loaders key by shard_id — but rebuilding every shard
             # on a flaky listing is still wrong)
             done_ids = set()
-    existing = _read_keydef(path) if resume else None
+    # the stamp is read UNCONDITIONALLY: with ``resume=False`` the write
+    # below still APPENDS shards to whatever lives at ``path``, so a
+    # stamped table must refuse a different key definition here too —
+    # otherwise resume=False both mixes definitions and overwrites the
+    # sidecar with the new tag, certifying the mixed table (r4 advice #2)
+    existing = _read_keydef(path)
     if existing is not None and key_def != existing:
         raise ValueError(
-            f"key-definition mismatch resuming {path!r}: table was "
+            f"key-definition mismatch appending to {path!r}: table was "
             f"built under {existing!r}, current build derives "
             f"{key_def!r}. Mixed-key shards would probe as silent "
             f"false negatives — rebuild the table at a fresh path.")
-    if done_ids and existing is None and key_def is not None:
+    table_nonempty = bool(done_ids)
+    if not resume and key_def is not None and existing is None:
+        # resume=True proves non-emptiness via done_ids; here a cheap
+        # existence probe closes the legacy-unstamped append hole
+        try:
+            table_nonempty = bool(spark.read.parquet(path).limit(1).take(1))
+        except AnalysisException:
+            pass
+    if table_nonempty and existing is None and key_def is not None:
         raise ValueError(
             f"table at {path!r} has no key-definition stamp (built "
             f"before versioning); cannot prove it matches "

@@ -270,7 +270,8 @@ def embedding_neardup_ivf(corpus: DataFrame, centroids: np.ndarray,
                           threshold: float = 0.9, nprobe: int = 1,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          max_list: int = 32_768) -> DataFrame:
+                          max_list: int = 32_768,
+                          pin: bool = True) -> DataFrame:
     """SemDeDup-style cluster-scoped embedding near-dup: assign every
     vector to its ``nprobe`` nearest spherical-k-means lists
     (:func:`ivf_train` centroids), generate pairs only WITHIN a shared
@@ -287,10 +288,14 @@ def embedding_neardup_ivf(corpus: DataFrame, centroids: np.ndarray,
 
     Scale shape: one broadcast-matmul assignment pass (KB centroids), a
     self-join co-located on list_id, exact verify on the surviving
-    pairs. The assignment frame is pinned (lazy ``localCheckpoint``,
-    same rationale and tradeoffs as ``embedding_neardup_pairs``): it
-    feeds the oversize check AND both self-join sides, and without the
-    pin each branch re-runs the pandas-UDF matmul over the whole corpus.
+    pairs. The assignment frame is pinned by default (lazy
+    ``localCheckpoint``, same rationale and tradeoffs as
+    ``embedding_neardup_pairs``): it feeds the oversize check AND both
+    self-join sides, and without the pin each branch re-runs the
+    pandas-UDF matmul over the whole corpus. Pass ``pin=False`` when the
+    caller already persisted/checkpointed the projection or cannot
+    accept non-replicated checkpoint storage under executor loss —
+    mirroring the sibling operators' opt-out.
     ``max_list`` refuses degenerate lists (a list holding half
     the corpus makes the within-list join quadratic in corpus size —
     retrain with more lists instead); candidates stay bounded by
@@ -299,7 +304,9 @@ def embedding_neardup_ivf(corpus: DataFrame, centroids: np.ndarray,
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     assigned = c.select(
         "id", F.explode(_assign_udf(centroids, nprobe)(F.col("e")))
-        .alias("list_id")).localCheckpoint(eager=False)
+        .alias("list_id"))
+    if pin:
+        assigned = assigned.localCheckpoint(eager=False)
     sizes = (assigned.groupBy("list_id")
              .agg(F.count(F.lit(1)).alias("n")))
     oversize = [int(r["list_id"]) for r in

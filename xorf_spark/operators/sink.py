@@ -56,11 +56,16 @@ def _move_replace(fsys, src: str, dst: str) -> None:
 
     POSIX rename and S3 copy-PUT replace atomically, but HDFS rename
     REFUSES an existing destination (r4 review finding — the second
-    pointer/manifest swap would crash the stream there). Fallback:
-    delete the stale destination and retry the move. On HDFS this opens
-    a small no-pointer window a concurrent reader can observe — readers
-    of these files already treat not-found as "retry/none" — while the
-    atomic single-rename path is preserved everywhere rename replaces.
+    pointer/manifest swap would crash the stream there). The fallback
+    renames the stale destination ASIDE (``dst`` → ``dst.old``) before
+    moving ``src`` in, then best-effort-deletes the aside copy. A plain
+    delete-then-move would permanently lose the committed destination if
+    the process dies between the two calls (r4 advice #1 — for the
+    streaming manifest that orphans every committed batch, and
+    ``verify_streamed_delivery`` would then certify a FRESH truncated
+    manifest as ok). With rename-aside, every crash point leaves either
+    ``dst`` or ``dst.old`` holding a complete committed value, and
+    :func:`_read_with_fallback` recovers from the aside copy.
     """
     try:
         fsys.move(src, dst)
@@ -69,8 +74,33 @@ def _move_replace(fsys, src: str, dst: str) -> None:
 
         if fsys.get_file_info(dst).type == pafs.FileType.NotFound:
             raise  # move failed for some other reason — surface it
-        fsys.delete_file(dst)
+        old = dst + ".old"
+        if fsys.get_file_info(old).type != pafs.FileType.NotFound:
+            fsys.delete_file(old)  # stale aside from an earlier fallback
+        fsys.move(dst, old)
         fsys.move(src, dst)
+        try:
+            fsys.delete_file(old)  # cleanup only once dst is committed
+        except OSError:
+            pass  # harmless: next fallback (or reader preference) handles it
+
+
+def _read_with_fallback(fsys, path: str) -> bytes | None:
+    """Read ``path``; when missing, fall back to the ``path + ".old"``
+    aside copy a crashed :func:`_move_replace` may have left (the
+    previous committed value). Returns None when neither exists."""
+    from pyarrow import fs as pafs
+
+    for cand in (path, path + ".old"):
+        if fsys.get_file_info(cand).type != pafs.FileType.NotFound:
+            try:
+                with fsys.open_input_stream(cand) as fh:
+                    return fh.read()
+            except (OSError, FileNotFoundError):
+                # raced a concurrent swap/cleanup between stat and open —
+                # re-stat the next candidate rather than failing the read
+                continue
+    return None
 
 
 def _row_hash(df: DataFrame, seed: int):

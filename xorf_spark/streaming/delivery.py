@@ -51,23 +51,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sink import (MANIFEST_NAME, _SHARD_COL, _combine64, _fs,
-                              _move_replace, _per_shard_totals, _row_hash,
-                              _sum_aggs)
+                              _move_replace, _per_shard_totals,
+                              _read_with_fallback, _row_hash, _sum_aggs)
+
+#: streaming-manifest format version. 2 = dict batch entries with
+#: (generation, fingerprint) replay guards and sum-mod-2**64 shard
+#: checksums. The pre-r4 layout (bare-int batch ids, bit-XOR ``xor64``
+#: shard checksums) carried no version field; it is detected by shape.
+STREAM_MANIFEST_FORMAT = 2
 
 
 def _manifest_path(base: str) -> str:
     return f"{base}/{MANIFEST_NAME}"
 
 
-def read_stream_manifest(path: str) -> dict | None:
-    from pyarrow import fs as pafs
+def _check_manifest_format(manifest: dict, path: str) -> dict:
+    """Loud, actionable refusal on a manifest this code cannot extend —
+    instead of the opaque TypeError/KeyError a shape mismatch would
+    produce deep inside replay accounting (r4 advice #3)."""
+    legacy = (any(not isinstance(b, dict) for b in manifest.get("batches", []))
+              or any(isinstance(s, dict) and "xor64" in s
+                     for s in manifest.get("shards", {}).values()))
+    if legacy:
+        raise ValueError(
+            f"delivery manifest at {path!r} uses the legacy pre-v2 layout "
+            f"(bare-int batch entries / xor64 shard checksums); its replay "
+            f"guards are incompatible with this version — re-deliver to a "
+            f"fresh path (or verify the old delivery with the code that "
+            f"wrote it)")
+    fmt = int(manifest.get("format", STREAM_MANIFEST_FORMAT))
+    if fmt != STREAM_MANIFEST_FORMAT:
+        raise ValueError(
+            f"delivery manifest at {path!r} has format {fmt}; this build "
+            f"reads format {STREAM_MANIFEST_FORMAT} — upgrade the library "
+            f"or re-deliver to a fresh path")
+    return manifest
 
+
+def read_stream_manifest(path: str) -> dict | None:
     fsys, base = _fs(path)
-    info = fsys.get_file_info(_manifest_path(base))
-    if info.type == pafs.FileType.NotFound:
+    # fallback covers the rename-aside window of a crashed manifest swap
+    # on rename-refusing filesystems (see sink._move_replace): the aside
+    # copy is the previous committed manifest, which the replay then
+    # extends — committed batches are never orphaned
+    raw = _read_with_fallback(fsys, _manifest_path(base))
+    if raw is None:
         return None
-    with fsys.open_input_stream(_manifest_path(base)) as fh:
-        return json.loads(fh.read().decode("utf-8"))
+    return _check_manifest_format(json.loads(raw.decode("utf-8")), path)
 
 
 def _write_manifest_atomic(path: str, manifest: dict, tag) -> None:
@@ -106,7 +136,8 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
         reserve_temp_cols(batch_df, _SHARD_COL)
         manifest = read_stream_manifest(path)
         if manifest is None:
-            manifest = {"n_rows": 0, "n_shards": int(n_shards),
+            manifest = {"format": STREAM_MANIFEST_FORMAT, "n_rows": 0,
+                        "n_shards": int(n_shards),
                         "seed": int(seed), "key_col": key_col,
                         "columns": columns, "generation": 0,
                         "batches": [], "shards": {}}

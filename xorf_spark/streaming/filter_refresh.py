@@ -58,7 +58,7 @@ from ..dataflow import FilterTable, build_filter_table
 # pointer/prune I/O here runs on the DRIVER (foreachBatch callbacks
 # execute driver-side), so no worker needs filesystem credentials
 # beyond what the writes already use
-from ..operators.sink import _fs, _move_replace
+from ..operators.sink import _fs, _move_replace, _read_with_fallback
 
 
 def _pointer_path(base: str) -> str:
@@ -71,11 +71,13 @@ def pointer_versions(table_path: str) -> tuple[str | None, str | None]:
     single-name pointer. Real I/O errors (auth, network) propagate —
     only not-found means "no version yet"."""
     fsys, base = _fs(table_path)
-    try:
-        with fsys.open_input_stream(_pointer_path(base)) as fh:
-            toks = fh.read().decode().split()
-    except FileNotFoundError:
+    # fallback reads the rename-aside copy a crashed pointer swap may
+    # have left on rename-refusing filesystems (sink._move_replace):
+    # the previous committed pointer — never a torn or missing one
+    raw = _read_with_fallback(fsys, _pointer_path(base))
+    if raw is None:
         return None, None
+    toks = raw.decode().split()
     return (toks[0] if toks else None,
             toks[1] if len(toks) > 1 else None)
 
