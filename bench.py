@@ -9,7 +9,20 @@ Headline numbers (BASELINE.md target):
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     XORF_BENCH_KEYS (default 32_000_000).
+     XORF_BENCH_KEYS (default 32_000_000),
+     XORF_BENCH_REPEATS (default 3, best-of),
+     XORF_BENCH_MAX_LOAD (default 4.0 — start gate: wait for the 1-min
+       loadavg to fall below this before measuring; co-tenant load on the
+       shared sandbox has produced unfalsifiable +50% rows, VERDICT r4 #1),
+     XORF_BENCH_LOAD_WAIT_SEC (default 240 — max seconds the gate waits;
+       after that the run proceeds and the exceedance is stamped),
+     XORF_BENCH_STREAMING (default 1 — run the streaming-throughput rows
+       in a fresh-JVM subprocess; 0 skips them).
+
+Measurement-hygiene contract (VERDICT r4 what's-wrong #1): the printed
+JSON stamps the 1-min loadavg at start/end, PER QUERY at each
+measurement's start, and the best-of repeat count — a regression on an
+unchanged code path is falsifiable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -17,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -29,6 +43,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_keys = int(os.environ.get("XORF_BENCH_KEYS", str(32_000_000)))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # ---- load gate: don't start measuring into a co-tenant burst ---------
+    max_load = float(os.environ.get("XORF_BENCH_MAX_LOAD", "4.0"))
+    wait_budget = float(os.environ.get("XORF_BENCH_LOAD_WAIT_SEC", "240"))
+    gate_waited = 0.0
+    while os.getloadavg()[0] > max_load and gate_waited < wait_budget:
+        print(f"[bench] loadavg {os.getloadavg()[0]:.2f} > {max_load} — "
+              f"waiting ({gate_waited:.0f}/{wait_budget:.0f}s)",
+              file=sys.stderr)
+        time.sleep(15)
+        gate_waited += 15
+    load_start = round(os.getloadavg()[0], 2)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -52,8 +78,10 @@ def main() -> None:
     D.ship_package(spark)  # workers import xorf_spark regardless of cwd
 
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}  # 1-min loadavg at each row's measurement
 
     def timed(name: str, fn):
+        loads[name] = round(os.getloadavg()[0], 2)
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
@@ -71,6 +99,13 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best, out
 
+    def bench(name: str, fn, n=repeats):
+        """best-of-n measurement stamped with the loadavg it started at."""
+        loads[name] = round(os.getloadavg()[0], 2)
+        secs, out = best_of(fn, n)
+        timings[name] = round(secs, 3)
+        return out
+
     # --- mergeable sketch UDAFs (north rule) ---------------------------------
     # Measured FIRST: once any python stage has consumed a *shuffled* input in
     # this JVM (e.g. the sharded filter build), every later python-feed stage
@@ -81,10 +116,9 @@ def main() -> None:
     # capability figure.
     from xorf_spark import sketches as S
 
-    secs, _ = best_of(
-        lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
-    timings["sketch_hll"] = round(secs, 3)
-    hll_rate = n_keys / secs
+    bench("sketch_hll",
+          lambda: S.sketch_agg(keys, "key", "hll", {"p": 14}).estimate())
+    hll_rate = n_keys / timings["sketch_hll"]
 
     # staged twin (parquet spill + file-reading python tasks — no Arrow
     # feed of the raw column; byte-identical state by the merge law)
@@ -96,22 +130,19 @@ def main() -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    secs, _ = best_of(hll_staged)
-    timings["sketch_hll_staged"] = round(secs, 3)
-    hll_staged_rate = n_keys / secs
+    bench("sketch_hll_staged", hll_staged)
+    hll_staged_rate = n_keys / timings["sketch_hll_staged"]
 
-    secs, _ = best_of(
-        lambda: S.sketch_agg(keys, "key", "theta", {"k": 4096}).estimate())
-    timings["sketch_theta"] = round(secs, 3)
-    theta_rate = n_keys / secs
+    bench("sketch_theta",
+          lambda: S.sketch_agg(keys, "key", "theta", {"k": 4096}).estimate())
+    theta_rate = n_keys / timings["sketch_theta"]
 
     vals = spark.range(n_keys // 4).select(
         (F.col("id") % 1_000_000).cast("double").alias("v"))
-    secs, _ = best_of(
-        lambda: S.sketch_agg(vals, "v", "tdigest",
-                             {"delta": 300}).quantile(0.5))
-    timings["sketch_tdigest"] = round(secs, 3)
-    tdigest_rate = (n_keys // 4) / secs
+    bench("sketch_tdigest",
+          lambda: S.sketch_agg(vals, "v", "tdigest",
+                               {"delta": 300}).quantile(0.5))
+    tdigest_rate = (n_keys // 4) / timings["sketch_tdigest"]
 
     # --- clean-regime probe: driver-built table (no python shuffle stage has
     # run yet), so this is probe capability uncontaminated by the JVM-global
@@ -132,9 +163,9 @@ def main() -> None:
             "n_keys": 8_000_000, "block_length": None}
     _table = D.FilterTable({0: _row}, 1)
     _probes = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
-    secs, _ = best_of(lambda: _table.where_member(_probes, "key").count())
-    timings["probe_bfuse8_clean"] = round(secs, 3)
-    probe_clean_rate = n_keys / secs
+    bench("probe_bfuse8_clean",
+          lambda: _table.where_member(_probes, "key").count())
+    probe_clean_rate = n_keys / timings["probe_bfuse8_clean"]
 
     # Warm up JVM JIT, shuffle paths and python workers with an uncounted
     # build (steady-state measurement; first-ever job pays one-time C2/JIT
@@ -145,28 +176,28 @@ def main() -> None:
 
     # --- distributed build throughput (the metric); best-of-2 to damp
     # noisy-neighbor variance on the shared sandbox -------------------------
-    secs, total_keys = best_of(
+    total_keys = bench(
+        "build_bfuse8",
         lambda: D.build_filter_df(keys, kind="bfuse8", n_shards=n_shards)
         .agg(F.sum("n_keys")).collect()[0][0])
-    timings["build_bfuse8"] = round(secs, 3)
-    bfuse_build_rate = total_keys / secs
+    bfuse_build_rate = total_keys / timings["build_bfuse8"]
 
-    secs, xor_keys = best_of(
+    xor_keys = bench(
+        "build_xor8",
         lambda: D.build_filter_df(keys, kind="xor8", n_shards=n_shards)
         .agg(F.sum("n_keys")).collect()[0][0])
-    timings["build_xor8"] = round(secs, 3)
-    xor_build_rate = xor_keys / secs
+    xor_build_rate = xor_keys / timings["build_xor8"]
 
     # staged build: JVM shuffle → parquet stage, then a shuffle-free python
     # stage reading its own shard files (decouples the Arrow feed; at
     # cluster scale the materialization barrier also buys elastic retry)
     stage_dir = tempfile.mkdtemp(prefix="xorf_stage_")
-    secs, staged_keys = best_of(
+    staged_keys = bench(
+        "build_bfuse8_staged",
         lambda: D.build_filter_df_staged(keys, stage_dir, kind="bfuse8",
                                          n_shards=n_shards)
         .agg(F.sum("n_keys")).collect()[0][0])
-    timings["build_bfuse8_staged"] = round(secs, 3)
-    staged_build_rate = staged_keys / secs
+    staged_build_rate = staged_keys / timings["build_bfuse8_staged"]
 
     # --- probe throughput ----------------------------------------------------
     shard_bf = D.build_filter_df(keys, kind="bfuse8", n_shards=n_shards).cache()
@@ -174,38 +205,35 @@ def main() -> None:
     table = D.FilterTable.from_df(shard_bf, n_shards=n_shards)
     probes = spark.range(n_keys).select(
         F.xxhash64(F.col("id") + 999_000_000).alias("key"))
-    secs, n_acc = best_of(
-        lambda: table.where_member(probes, "key").count())
-    timings["probe_bfuse8"] = round(secs, 3)
-    probe_rate = n_keys / secs
+    n_acc = bench("probe_bfuse8",
+                  lambda: table.where_member(probes, "key").count())
+    probe_rate = n_keys / timings["probe_bfuse8"]
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
 
     # staged bulk probe (no JVM->python key feed; the 0.88-scaling path)
     pstage_dir = tempfile.mkdtemp(prefix="xorf_pstage_")
-    secs, _ = best_of(
-        lambda: D.probe_staged(probes, table, pstage_dir)
-        .agg(F.sum("n_probes")).collect()[0][0])
-    timings["probe_bfuse8_staged"] = round(secs, 3)
-    probe_staged_rate = n_keys / secs
+    bench("probe_bfuse8_staged",
+          lambda: D.probe_staged(probes, table, pstage_dir)
+          .agg(F.sum("n_probes")).collect()[0][0])
+    probe_staged_rate = n_keys / timings["probe_bfuse8_staged"]
     shard_bf.unpersist()
 
     # --- sf-table queries (best-of-repeats: the first run of a query pays
     # one-time whole-stage-codegen compilation — seconds for the big nested
     # array lambdas — that a steady-state workload never sees again) -------
-    secs, _ = best_of(lambda: Q.q_bfuse8_semijoin(spark, sf_dir).collect())
-    timings["flagship_semijoin"] = round(secs, 3)
-    secs, _ = best_of(lambda: Q.q_ngram_jaccard_pairs(spark, sf_dir).collect())
-    timings["ngram_jaccard_pairs"] = round(secs, 3)
-    secs, _ = best_of(lambda: Q.q_ann_cosine_topk(spark, sf_dir).collect())
-    timings["ann_cosine_topk"] = round(secs, 3)
-    secs, _ = best_of(lambda: Q.q_asof_join(spark, sf_dir).collect())
-    timings["asof_join"] = round(secs, 3)
-    secs, _ = best_of(lambda: Q.q_decontaminate(spark, sf_dir).collect())
-    timings["decontaminate"] = round(secs, 3)
-    secs, _ = best_of(lambda: Q.q_tfidf_top_terms(spark, sf_dir).collect())
-    timings["tfidf_top_terms"] = round(secs, 3)
-    secs, _ = best_of(lambda: Q.q_curation_pipeline(spark, sf_dir).collect())
-    timings["curation_pipeline"] = round(secs, 3)
+    bench("flagship_semijoin",
+          lambda: Q.q_bfuse8_semijoin(spark, sf_dir).collect())
+    bench("ngram_jaccard_pairs",
+          lambda: Q.q_ngram_jaccard_pairs(spark, sf_dir).collect())
+    bench("ann_cosine_topk",
+          lambda: Q.q_ann_cosine_topk(spark, sf_dir).collect())
+    bench("asof_join", lambda: Q.q_asof_join(spark, sf_dir).collect())
+    bench("decontaminate",
+          lambda: Q.q_decontaminate(spark, sf_dir).collect())
+    bench("tfidf_top_terms",
+          lambda: Q.q_tfidf_top_terms(spark, sf_dir).collect())
+    bench("curation_pipeline",
+          lambda: Q.q_curation_pipeline(spark, sf_dir).collect())
 
     # MinHash-LSH end-to-end on synthetic token docs: signatures
     # (num_perm=64, two-stage base-hash path) → banded LSH candidate
@@ -227,8 +255,7 @@ def main() -> None:
         sigs = minhash_signatures(mh_docs, num_perm=64, shingle=3)
         return lsh_candidate_pairs(sigs).count()
 
-    secs, n_cand = best_of(minhash_lsh)
-    timings["minhash_lsh_20k_docs"] = round(secs, 3)
+    n_cand = bench("minhash_lsh_20k_docs", minhash_lsh)
 
     # token pipeline end-to-end: synthesize 100k docs → 8-token shingle keys →
     # exact dedup → sharded bfuse8 build
@@ -243,6 +270,41 @@ def main() -> None:
     shingle_keys_built = timed("token_pipeline_100k_docs", token_pipeline)
     shingle_rate = shingle_keys_built / timings["token_pipeline_100k_docs"]
 
+    # --- streaming throughput rows (VERDICT r4 item 6) ---------------------
+    # A fresh-JVM subprocess, after the main session stops: streaming's
+    # applyInPandasWithState numbers would otherwise be contaminated by
+    # this JVM's python-feed slowdown regime (see sketch note above), and
+    # two concurrent 32-thread JVMs would corrupt each other's wall times.
+    spark.stop()
+    stream_derived: dict[str, int] = {}
+    if os.environ.get("XORF_BENCH_STREAMING", "1") != "0":
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        rows_pb = max(200_000, n_keys // 8)
+        n_batches = 2
+        loads["streaming"] = round(os.getloadavg()[0], 2)
+        env = dict(os.environ, PYTHONPATH=repo_dir,
+                   XORF_STREAM_OPS="dedup,refresh",
+                   SPARK_GRAFT_CPUS=str(cpus))
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(repo_dir, "scripts", "bench_streaming.py"),
+                 str(rows_pb), str(n_batches)],
+                capture_output=True, text=True, timeout=1500, env=env)
+            line = out.stdout.strip().splitlines()[-1]  # ONE json line
+            sres = json.loads(line)["results"]
+            dd, fr = sres["stream_exact_dedup"], sres["stream_filter_refresh"]
+            timings["stream_exact_dedup"] = float(dd["wall_s"])
+            timings["filter_refresh"] = float(fr["wall_s"])
+            stream_derived = {
+                "stream_dedup_rows_per_sec": int(dd["rows_per_s"]),
+                "filter_refresh_rows_per_sec": int(fr["rows_per_s"]),
+                "filter_refresh_rebuilt_keys": int(fr["filter_keys"] or 0),
+                "stream_rows_fed": int(rows_pb * n_batches),
+            }
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            print(f"[bench] streaming rows skipped: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "bfuse8_build_keys_per_sec",
         "value": round(bfuse_build_rate),
@@ -250,8 +312,15 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "n_keys": int(total_keys),
+        "repeats": repeats,
+        "loadavg_1m": {"start": load_start,
+                       "end": round(os.getloadavg()[0], 2),
+                       "gate_max": max_load,
+                       "gate_waited_sec": round(gate_waited)},
+        "loadavg_per_query": loads,
         "queries": timings,
         "derived": {
+            **stream_derived,
             "xor8_build_keys_per_sec": round(xor_build_rate),
             "bfuse8_staged_build_keys_per_sec": round(staged_build_rate),
             "bfuse8_probe_lookups_per_sec": round(probe_rate),
@@ -269,7 +338,6 @@ def main() -> None:
             "minhash_lsh_candidate_pairs": int(n_cand),
         },
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -26,6 +26,9 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 ROWS_PER_BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+#: comma-separated subset of {dedup,hll,refresh} — bench.py drives the
+#: dedup+refresh pair as its first-class streaming rows (VERDICT r4 #6)
+OPS = set(os.environ.get("XORF_STREAM_OPS", "dedup,hll,refresh").split(","))
 
 
 def make_spark():
@@ -35,6 +38,7 @@ def make_spark():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
 
@@ -103,51 +107,54 @@ def main():
                   .option("maxFilesPerTrigger", "1").parquet(feed))
 
         # 1) stateful exact dedup (applyInPandasWithState, 64 buckets)
-        from xorf_spark.streaming.stateful_dedup import stream_exact_dedup
-        out = stream_exact_dedup(stream, key_col="key", n_buckets=64)
-        wall, prog = run_stream(out, os.path.join(work, "ck_dedup"))
-        results["stream_exact_dedup"] = {
-            "wall_s": round(wall, 2),
-            "rows_per_s": round(total_rows / wall),
-            "state_curve": state_curve(prog),
-        }
+        if "dedup" in OPS:
+            from xorf_spark.streaming.stateful_dedup import stream_exact_dedup
+            out = stream_exact_dedup(stream, key_col="key", n_buckets=64)
+            wall, prog = run_stream(out, os.path.join(work, "ck_dedup"))
+            results["stream_exact_dedup"] = {
+                "wall_s": round(wall, 2),
+                "rows_per_s": round(total_rows / wall),
+                "state_curve": state_curve(prog),
+            }
 
         # 2) windowed HLL sketch (event-time watermark)
-        from xorf_spark.streaming.sketch_window import stream_windowed_sketch
-        ts_stream = (stream
-                     .withColumn("ts", F.timestamp_millis(
-                         F.lit(1_700_000_000_000)
-                         + (F.shiftrightunsigned("key", 40))))
-                     .withColumn("grp", F.pmod(F.col("key"), F.lit(8))))
-        out = stream_windowed_sketch(
-            ts_stream, key_col="key", group_col="grp", ts_col="ts",
-            window="1 hour", watermark="0 seconds", kind="hll",
-            params={"p": 12})
-        wall, prog = run_stream(out, os.path.join(work, "ck_hll"),
-                                mode="update")
-        results["stream_windowed_hll"] = {
-            "wall_s": round(wall, 2),
-            "rows_per_s": round(total_rows / wall),
-            "state_curve": state_curve(prog),
-        }
+        if "hll" in OPS:
+            from xorf_spark.streaming.sketch_window import stream_windowed_sketch
+            ts_stream = (stream
+                         .withColumn("ts", F.timestamp_millis(
+                             F.lit(1_700_000_000_000)
+                             + (F.shiftrightunsigned("key", 40))))
+                         .withColumn("grp", F.pmod(F.col("key"), F.lit(8))))
+            out = stream_windowed_sketch(
+                ts_stream, key_col="key", group_col="grp", ts_col="ts",
+                window="1 hour", watermark="0 seconds", kind="hll",
+                params={"p": 12})
+            wall, prog = run_stream(out, os.path.join(work, "ck_hll"),
+                                    mode="update")
+            results["stream_windowed_hll"] = {
+                "wall_s": round(wall, 2),
+                "rows_per_s": round(total_rows / wall),
+                "state_curve": state_curve(prog),
+            }
 
         # 3) filter refresh: foreachBatch key-log append + one full rebuild
-        from xorf_spark.streaming.filter_refresh import (
-            load_latest_filter_table, stream_filter_refresh)
-        tbl = os.path.join(work, "ftable")
-        sink = stream_filter_refresh(
-            stream, tbl, key_col="key", kind="bfuse8", n_shards=32,
-            refresh_every=N_BATCHES)
-        wall, _ = run_stream(None, os.path.join(work, "ck_refresh"),
-                             sink=sink)
-        ft = load_latest_filter_table(spark, tbl)
-        results["stream_filter_refresh"] = {
-            "wall_s": round(wall, 2),
-            "rows_per_s": round(total_rows / wall),
-            "n_batches": N_BATCHES,
-            "rebuilds": 1,
-            "filter_keys": ft.n_keys if hasattr(ft, "n_keys") else None,
-        }
+        if "refresh" in OPS:
+            from xorf_spark.streaming.filter_refresh import (
+                load_latest_filter_table, stream_filter_refresh)
+            tbl = os.path.join(work, "ftable")
+            sink = stream_filter_refresh(
+                stream, tbl, key_col="key", kind="bfuse8", n_shards=32,
+                refresh_every=N_BATCHES)
+            wall, _ = run_stream(None, os.path.join(work, "ck_refresh"),
+                                 sink=sink)
+            ft = load_latest_filter_table(spark, tbl)
+            results["stream_filter_refresh"] = {
+                "wall_s": round(wall, 2),
+                "rows_per_s": round(total_rows / wall),
+                "n_batches": N_BATCHES,
+                "rebuilds": 1,
+                "filter_keys": ft.n_keys if hasattr(ft, "n_keys") else None,
+            }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
