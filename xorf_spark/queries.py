@@ -2004,6 +2004,9 @@ GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
 #: the tail holds only redundant variants whose family already has an
 #: earlier row (each tail entry names its earlier representative).
 _GATE_ORDER = [
+    # ======== FIXED BLOCK (positions 1-34): one row per operator family,
+    # every round — the driver's official CORRECTNESS record must never
+    # drop a family (CORRECTNESS_r02 dropped all sketches by ordering).
     # filter core: build + probe every family/width, zero-FN contract
     "xor_zero_fn", "bfuse_zero_fn", "fuse_zero_fn",
     "doc_keys_zero_fn", "shingle_zero_fn", "hash_proxy_strings",
@@ -2013,38 +2016,44 @@ _GATE_ORDER = [
     "hll_distinct", "hll_group_distinct", "cms_counts", "bloom_zero_fn",
     "tdigest_quantiles", "kll_quantiles", "mg_heavy_hitters",
     "hll_set_ops", "sketch_merge_assoc",
-    # token / text pipeline
-    "token_table", "shingle_stats", "shingle_key_dedup", "dedup_exact",
-    "ngram_jaccard_pairs", "neardup_components", "minhash_signatures",
-    "simhash", "doc_fingerprint", "text_quality", "gopher_rules",
-    "redact_pii", "deterministic_sample", "lang_id", "bucketed_join",
-    "vocab_topk", "range_partition", "tfidf_top_terms", "decontaminate",
-    "salted_skew_ops", "curation_pipeline", "pack_sequences",
-    # similarity / events / multimodal
+    # pipeline / layout anchors
+    "token_table", "dedup_exact", "minhash_signatures", "bucketed_join",
+    "decontaminate", "curation_pipeline", "pack_sequences",
+    # similarity / events / multimodal anchors
     "ann_cosine_topk", "ann_ivf_recall", "embedding_neardup",
-    "events_hourly", "sessionize", "asof_join",
-    "multimodal_bytes", "media_decode_image",
-    # ---- position 50 ends above; redundant-variant tail below ----
-    "media_decode_audio",        # media family: media_decode_image
-    "tdigest_group_quantiles",   # grouped sketches: hll_group_distinct
-    "mg_group_top_word",         # MG family: mg_heavy_hitters
-    "bfuse16_antijoin",          # membership joins: bfuse8_semijoin
-    "xor16_semijoin_part",       # membership joins: bfuse8_semijoin
-    "ivf_ann_exhaustive",        # ANN family: ann_cosine_topk/ann_ivf_recall
-    "stratified_take",           # sampling: deterministic_sample
-    "contamination_report",      # decontam family: decontaminate
-    "hll_shingle_distinct",      # HLL family: hll_distinct (shingle keys)
-    "lm_quality",                # text-quality family: text_quality
-    "mixture_sample",            # sampling family: deterministic_sample
-    "theta_set_ops",             # sketch set-ops family: hll_set_ops
-    "table_profile",             # sketch composition: hll/kll/mg families
-    "token_count",               # token counting: token_table (per-doc n_tok)
-    "line_dedup",                # dedup family: dedup_exact (sub-document
-                                 # granularity — CCNet boilerplate strike)
-    "embedding_neardup_ivf",     # embedding near-dup family:
-                                 # embedding_neardup (IVF/SemDeDup twin)
-    "substring_dedup",           # dedup family: line_dedup (overlapping
-                                 # windows — Lee et al. ExactSubstr twin)
+    "sessionize", "asof_join", "multimodal_bytes", "media_decode_image",
+    # ======== ROTATION BLOCK (positions 35-50): refilled each round
+    # round-robin from the variant pool below so EVERY registry query
+    # accumulates official CORRECTNESS rows across rounds (VERDICT r4 #2).
+    # Round-5 fill: the queries with no r1-r4 official row, plus the
+    # single-row stragglers.
+    "substring_dedup", "line_dedup", "table_profile", "theta_set_ops",
+    "lm_quality", "mixture_sample", "embedding_neardup_ivf",
+    "contamination_report", "stratified_take", "mg_group_top_word",
+    "hll_shingle_distinct", "tdigest_group_quantiles",
+    "media_decode_audio", "ivf_ann_exhaustive",
+    "neardup_components", "simhash",
+    # ---- position 50 ends above; variant pool awaiting rotation below.
+    # Official-row coverage of this tail: every name below has r1-r4 rows
+    # (rotated out this round after 2-4 green rounds each); all remain
+    # tri-scale oracle-checked every round via CHECK_r{N}.json.
+    "shingle_stats",             # token family: token_table (r1-r4 rows)
+    "shingle_key_dedup",         # dedup family: dedup_exact (r1-r4)
+    "ngram_jaccard_pairs",       # near-dup family: minhash_signatures (r1-r4)
+    "doc_fingerprint",           # fingerprint family: simhash (r1-r4)
+    "text_quality",              # quality family: lm_quality (r1-r4)
+    "gopher_rules",              # quality family: text_quality (r1-r4)
+    "redact_pii",                # text transforms (r1-r4)
+    "deterministic_sample",      # sampling: stratified_take/mixture (r1-r4)
+    "lang_id",                   # text classification (r1-r4)
+    "vocab_topk",                # counting: mg_heavy_hitters (r1-r4)
+    "range_partition",           # layout family: bucketed_join (r1-r4)
+    "tfidf_top_terms",           # text stats (r1-r4)
+    "salted_skew_ops",           # skew family (r1-r4)
+    "events_hourly",             # events family: sessionize (r1-r4)
+    "token_count",               # token counting: token_table (r1-r3)
+    "bfuse16_antijoin",          # membership joins: bfuse8_semijoin (r1-r2)
+    "xor16_semijoin_part",       # membership joins: bfuse8_semijoin (r1-r2)
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
