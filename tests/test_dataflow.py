@@ -159,6 +159,34 @@ def test_inline_semijoin_cogrouped_above_collect_cap(spark, token_df,
     assert got_anti == probe.count() - want
 
 
+def test_from_df_load_refuse_oversize_driver_collect(spark, token_df,
+                                                     tmp_path):
+    """r4 verdict finding #2: the PUBLIC FilterTable.load/from_df on a
+    multi-GB shard table must refuse (pre-summed from num_slots metadata,
+    never by reading the fingerprints) instead of OOMing the driver; the
+    message points at the distributed probe paths."""
+    import os
+    import pytest
+
+    keys = D.doc_keys(token_df).select("key")
+    path = os.path.join(str(tmp_path), "ftable")
+    D.build_filter_table(keys, path, kind="bfuse8", n_shards=4)
+    # tiny cap: the real table exceeds it -> loud refusal, both entry points
+    with pytest.raises(ValueError, match="probe_cogrouped"):
+        D.FilterTable.load(spark, path, max_collect_fp_bytes=16)
+    with pytest.raises(ValueError, match="max_collect_fp_bytes"):
+        D.FilterTable.from_df(spark.read.parquet(path),
+                              max_collect_fp_bytes=16)
+    # default cap (4 GiB) admits the small table; probes still work
+    t = D.FilterTable.load(spark, path, n_shards=4)
+    assert t.where_member(keys, "key").count() == keys.distinct().count()
+    # the estimate is the true byte total (num_slots x width == len(bytes))
+    est_true = t.total_fingerprint_bytes
+    with pytest.raises(ValueError):
+        D.FilterTable.load(spark, path, max_collect_fp_bytes=est_true - 1)
+    D.FilterTable.load(spark, path, max_collect_fp_bytes=est_true)
+
+
 def test_semijoin_backstop_broadcasts_small_build_side(spark, token_df):
     from xorf_spark.plans.inspect import explain_str
     probe = token_df.limit(500).select("doc_id", "tokens")
@@ -346,6 +374,71 @@ def test_probe_staged_counts_and_members(spark, tmp_path):
     empty = D.probe_staged(keys.where("key IS NULL AND key IS NOT NULL"),
                            table, str(tmp_path / "st4"))
     assert empty.count() == 0
+
+
+def test_probe_staged_member_commit_portable(spark, tmp_path):
+    """r4 verdict finding #3: the members_dir task commit must not be
+    POSIX-only. The pyarrow.fs committer is retry-idempotent: a re-run of
+    the same probe over the same members_dir leaves exactly one committed
+    file per shard with identical content, and on rename-REFUSING
+    filesystems (HDFS semantics) a second attempt keeps the committed twin
+    and discards its temp instead of crashing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from xorf_spark import dataflow as D
+
+    keys = spark.range(30_000).select(F.xxhash64("id").alias("key"))
+    shard_df = D.build_filter_df(keys, kind="bfuse8", n_shards=4)
+    table = D.FilterTable.from_df(shard_df, n_shards=4, check_size=False)
+    mdir = str(tmp_path / "members")
+    D.probe_staged(keys, table, str(tmp_path / "sa"),
+                   members_dir=mdir).collect()
+    first = sorted(r["key"] for r in spark.read.parquet(mdir).collect())
+    # retried task / full job re-run: same dir, same content, no dup files
+    D.probe_staged(keys, table, str(tmp_path / "sb"),
+                   members_dir=mdir).collect()
+    again = sorted(r["key"] for r in spark.read.parquet(mdir).collect())
+    assert again == first
+    import glob
+    for d in glob.glob(f"{mdir}/shard_id=*"):
+        visible = [p for p in glob.glob(f"{d}/*")
+                   if not p.rsplit("/", 1)[1].startswith(".")]
+        assert len(visible) == 1, visible
+
+    # rename-refusing filesystem: commit the same shard twice through a
+    # wrapped fs — second attempt must keep the committed file and clean
+    # its temp (driver-side direct drive of the worker committer)
+    from pyarrow import fs as pafs
+
+    from tests.test_operators import _RenameRefusingFS
+
+    real_from_uri = pafs.FileSystem.from_uri
+    fs2 = _RenameRefusingFS()
+
+    class _ShimFS:  # pyarrow's FileSystem type is immutable; shim the
+        @staticmethod  # MODULE attribute the committer resolves through
+        def from_uri(uri):
+            return fs2, real_from_uri(uri)[1]
+
+    commit = D._make_member_committer()
+    tbl = pa.table({"key": np.arange(5, dtype=np.int64)})
+    hdir = str(tmp_path / "hdfsish")
+    orig_fs_cls = pafs.FileSystem
+    pafs.FileSystem = _ShimFS  # scoped: restore before any parquet read
+    try:
+        final = commit(hdir, 0, tbl)
+        final2 = commit(hdir, 0, tbl)  # the "speculative twin" attempt
+    finally:
+        pafs.FileSystem = orig_fs_cls
+    assert final == final2
+    import pyarrow.parquet as pq
+    got = pq.read_table(final, filesystem=pafs.LocalFileSystem())
+    assert got.column("key").to_pylist() == [0, 1, 2, 3, 4]
+    import os
+    # listdir (not glob: it hides dotfiles) — temps cleaned, one file
+    assert os.listdir(f"{hdir}/shard_id=0") == ["part-0.parquet"]
 
 
 def test_where_member_null_semantics_and_members(spark):

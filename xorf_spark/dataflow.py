@@ -373,6 +373,46 @@ def _make_stage_lister():
     return list_shard_files
 
 
+def _make_member_committer():
+    """Factory (by-value pickling, same rationale as ``_make_stage_lister``)
+    for the worker-side ``members_dir`` write in :func:`probe_staged`.
+
+    Filesystem-portable task commit (r4 verdict finding #3 — the previous
+    ``os.replace`` was POSIX-only): the attempt writes to an
+    attempt-unique temp name through ``pyarrow.fs`` (local, s3://,
+    hdfs://, gs://), then moves it into place. ``move`` is an atomic
+    rename on POSIX and a copy-PUT on object stores; on rename-REFUSING
+    filesystems (HDFS semantics) an already-committed destination is
+    simply kept and the temp discarded — safe because every attempt of a
+    shard task writes IDENTICAL bytes (the member set is deterministic
+    from the staged input and the filter), so whichever attempt committed
+    first is correct. A half-written temp from a killed attempt never
+    becomes visible under the final name.
+    """
+    def commit_members(members_dir: str, sid: int, arrow_table) -> str:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+        from pyarrow import fs as _pafs
+
+        mfs, mbase = _pafs.FileSystem.from_uri(members_dir)
+        d = f"{mbase.rstrip('/')}/shard_id={sid}"
+        mfs.create_dir(d, recursive=True)
+        tmp = f"{d}/.part-0.parquet.tmp-{_os.getpid()}"
+        with mfs.open_output_stream(tmp) as fh:
+            _pq.write_table(arrow_table, fh)
+        final = f"{d}/part-0.parquet"
+        try:
+            mfs.move(tmp, final)
+        except OSError:
+            if mfs.get_file_info(final).type == _pafs.FileType.NotFound:
+                raise  # move failed for some other reason — surface it
+            mfs.delete_file(tmp)  # lost the commit race to an identical twin
+        return final
+
+    return commit_members
+
+
 def _shard_tasks(spark: SparkSession, shard_ids: list[int]) -> DataFrame:
     """One-row-per-shard task frame, repartitioned so every shard id gets
     its own python task."""
@@ -623,8 +663,45 @@ class FilterTable:
         return hit
 
     @classmethod
-    def from_df(cls, shard_df: DataFrame, n_shards: int | None = None
-                ) -> "FilterTable":
+    def from_df(cls, shard_df: DataFrame, n_shards: int | None = None,
+                max_collect_fp_bytes: int | None = None,
+                check_size: bool = True) -> "FilterTable":
+        """Collect the shard table into a driver-side FilterTable.
+
+        Guarded (r4 verdict finding #2): the fingerprint byte total is
+        pre-summed from the METADATA columns (``num_slots`` × fp width —
+        the binary column itself is never read by the check, so on a
+        parquet-backed frame it is a pruned KB-scale scan) and the
+        collect refuses above ``max_collect_fp_bytes`` (default
+        ``MAX_COLLECT_FP_BYTES``, 4 GiB) instead of silently OOMing the
+        driver. Oversize filters should stay distributed: probe through
+        ``probe_cogrouped`` / ``probe_staged`` or the auto-routing
+        ``filter_semi_join`` / ``filter_anti_join``.
+
+        ``check_size=False`` skips the pre-scan — for callers that have
+        already bounded the size (``_member_flag`` estimates from the key
+        count before building) or hold an unmaterialized build plan the
+        extra job would re-execute.
+        """
+        if check_size:
+            limit = (MAX_COLLECT_FP_BYTES if max_collect_fp_bytes is None
+                     else max_collect_fp_bytes)
+            width = (F.when(F.col("kind").endswith("32"), F.lit(4))
+                     .when(F.col("kind").endswith("16"), F.lit(2))
+                     .otherwise(F.lit(1)))
+            est = (shard_df.agg(
+                F.sum(F.col("num_slots") * width).alias("b"))
+                .collect()[0]["b"]) or 0
+            if est > limit:
+                raise ValueError(
+                    f"shard table holds ~{est / (1 << 30):.2f} GiB of "
+                    f"fingerprints (> {limit / (1 << 30):.2f} GiB "
+                    f"max_collect_fp_bytes) — collecting it would risk "
+                    f"OOMing the driver. Keep the filter distributed: "
+                    f"probe with probe_cogrouped/probe_staged, or use "
+                    f"filter_semi_join/filter_anti_join which auto-route "
+                    f"above this threshold; raise max_collect_fp_bytes "
+                    f"deliberately if the driver really has the headroom.")
         rows = {int(r["shard_id"]): r.asDict() for r in shard_df.collect()}
         if n_shards is None:
             m = max(rows, default=0)
@@ -633,8 +710,10 @@ class FilterTable:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str,
-             n_shards: int | None = None) -> "FilterTable":
-        return cls.from_df(spark.read.parquet(path), n_shards)
+             n_shards: int | None = None,
+             max_collect_fp_bytes: int | None = None) -> "FilterTable":
+        return cls.from_df(spark.read.parquet(path), n_shards,
+                           max_collect_fp_bytes=max_collect_fp_bytes)
 
     def _fn(self, sid: int):
         fn = self._fns.get(sid)
@@ -882,7 +961,11 @@ def _member_flag(probe_df: DataFrame, build_df: DataFrame,
     n_shards = pick_n_shards(n_build, target_keys_per_shard)
     shard_df = build_filter_df(keys, kind=kind, n_shards=n_shards)
     if _est_fp_bytes(n_build, kind) <= max_collect_fp_bytes:
-        table = FilterTable.from_df(shard_df, n_shards=n_shards)
+        # size already bounded by the conservative pre-build estimate;
+        # check_size=False avoids a second job over the unmaterialized
+        # build plan (which would rebuild every shard just to re-measure)
+        table = FilterTable.from_df(shard_df, n_shards=n_shards,
+                                    check_size=False)
         udf = table.contains_udf(spark)  # auto broadcast→mmap above 64MB
         return (probed.withColumn(out_col, udf(F.col("__xorf_key"))), n_build)
     flagged = probe_cogrouped(probed, shard_df, n_shards,
@@ -1015,7 +1098,9 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
     NULL keys are excluded JVM-side (their verdict is NULL, not a count).
     With ``members_dir``, each task also writes its passing keys as
     parquet under ``members_dir/shard_id=N/`` — the materialized
-    pre-pass output.
+    pre-pass output, committed through the filesystem-portable path of
+    ``_make_member_committer`` (pyarrow.fs, not POSIX rename — r4 verdict
+    finding #3).
     """
     spark = probe_df.sparkSession
     meta, _tag = table.ship_fps(spark)
@@ -1027,10 +1112,9 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
     tasks = _shard_tasks(spark, shard_ids)
 
     _list_shard_files = _make_stage_lister()
+    _commit_members = _make_member_committer()
 
     def probe_from_files(batches):
-        import os as _os
-
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
@@ -1049,18 +1133,9 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
                 else:
                     verdict = _filter_from_row(_row_from_meta(m))(arr)
                 if members_dir is not None:
-                    # write to a temp name then atomically rename so a
-                    # retried/speculative task attempt can never leave a
-                    # half-written file as the surviving content (poor
-                    # man's task commit; on object stores route through a
-                    # Spark write instead)
-                    d = f"{members_dir}/shard_id={sid}"
-                    _os.makedirs(d, exist_ok=True)
-                    tmp = f"{d}/.part-0.parquet.tmp{_os.getpid()}"
-                    _pq.write_table(
-                        _pa.table({"key": arr[verdict].view(np.int64)}),
-                        tmp)
-                    _os.replace(tmp, f"{d}/part-0.parquet")
+                    _commit_members(
+                        members_dir, sid,
+                        _pa.table({"key": arr[verdict].view(np.int64)}))
                 yield pd.DataFrame([{"shard_id": sid,
                                      "n_probes": int(arr.size),
                                      "n_members": int(verdict.sum())}])
