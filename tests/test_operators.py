@@ -2099,3 +2099,38 @@ def test_stream_manifest_legacy_and_future_formats_refused(spark, tmp_path):
     (out / "_MANIFEST.json").write_text(_json.dumps(future))
     with pytest.raises(ValueError, match="has format 99"):
         read_stream_manifest(str(out))
+
+
+def test_stream_delivery_key_def_wiring_guard(spark, tmp_path):
+    """r4 verdict item 8: a restarted delivery whose upstream key
+    derivation changed must refuse, not silently append rows of a
+    different universe; format-2 manifests written without a key_def
+    stay extendable by key_def=None wiring only."""
+    from xorf_spark.streaming.delivery import (
+        make_batch_processor, read_stream_manifest)
+    out = str(tmp_path / "out")
+    df = spark.range(50).select(
+        F.format_string("k%d", "id").alias("key"), F.col("id").alias("v"))
+    process = make_batch_processor(out, 4, ["key", "v"], key_col="key",
+                                   key_def="shingle/v2/k=8")
+    process(df, 0)
+    assert read_stream_manifest(out)["key_def"] == "shingle/v2/k=8"
+    # changed derivation: loud refusal before any data lands
+    p2 = make_batch_processor(out, 4, ["key", "v"], key_col="key",
+                              key_def="shingle/v2/k=5")
+    with pytest.raises(ValueError, match="key_def"):
+        p2(df, 1)
+    # dropping the tag is also a mismatch (None != stamped value)
+    p3 = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    with pytest.raises(ValueError, match="key_def"):
+        p3(df, 1)
+    # pre-key_def manifest (no field at all): None wiring still extends it
+    import json as _json
+    m = read_stream_manifest(out)
+    del m["key_def"]
+    (tmp_path / "out" / "_MANIFEST.json").write_text(_json.dumps(m))
+    p4 = make_batch_processor(out, 4, ["key", "v"], key_col="key")
+    b2 = spark.range(50, 80).select(
+        F.format_string("k%d", "id").alias("key"), F.col("id").alias("v"))
+    p4(b2, 1)
+    assert read_stream_manifest(out)["n_rows"] == 80

@@ -483,6 +483,54 @@ def test_sketch_table_duplicate_partials_not_double_counted(spark, tmp_path):
     assert raw.estimate_hashes(v)[0] >= 2 * deduped.estimate_hashes(v)[0]
 
 
+def test_sketch_table_wiring_stamp_guard(spark, keyed_df, tmp_path):
+    """r4 verdict item 8: the sketch lineage table carries the same
+    resume-under-changed-derivation hazard as the filter table — a resume
+    with a different key_def merges two key universes; a different
+    n_buckets reinterprets committed part_ids; different params break the
+    merge law. The _XORF_KEYDEF wiring stamp refuses all three, for
+    resume=True AND resume=False appends; legacy unstamped tables refuse
+    an explicit key_def."""
+    import pytest
+
+    path = str(tmp_path / "stamped")
+    build_sketch_table(keyed_df, "key", "hll", path, {"p": 12},
+                       n_buckets=8, key_def="shingle/v2/k=8")
+    # same wiring resumes cleanly (no new rows — all buckets committed)
+    build_sketch_table(keyed_df, "key", "hll", path, {"p": 12},
+                       n_buckets=8, key_def="shingle/v2/k=8")
+    assert spark.read.parquet(path).count() == 8
+    # changed derivation / wiring: loud refusal, resume=True and False
+    for kw in ({"key_def": "shingle/v2/k=5"}, {"params": {"p": 14}},
+               {"n_buckets": 16}):
+        args = {"params": {"p": 12}, "n_buckets": 8,
+                "key_def": "shingle/v2/k=8", **kw}
+        with pytest.raises(ValueError, match="wiring mismatch"):
+            build_sketch_table(keyed_df, "key", "hll", path,
+                               args["params"], n_buckets=args["n_buckets"],
+                               key_def=args["key_def"])
+        with pytest.raises(ValueError, match="wiring mismatch"):
+            build_sketch_table(keyed_df, "key", "hll", path,
+                               args["params"], n_buckets=args["n_buckets"],
+                               key_def=args["key_def"], resume=False)
+
+    # legacy (pre-stamp) table simulation: data without a sidecar
+    legacy = str(tmp_path / "legacy")
+    build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
+                       n_buckets=8)
+    from xorf_spark.dataflow import _keydef_io
+    fsys, p = _keydef_io(legacy)
+    fsys.delete_file(p)  # strip the stamp -> pre-versioning table
+    with pytest.raises(ValueError, match="no wiring stamp"):
+        build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
+                           n_buckets=8, key_def="shingle/v2/k=8")
+    # legacy + key_def=None keeps working and is NOT retro-stamped
+    build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
+                       n_buckets=8)
+    from xorf_spark.dataflow import _read_keydef
+    assert _read_keydef(legacy) is None
+
+
 def test_sketch_table_resume_propagates_real_errors(spark, tmp_path,
                                                     monkeypatch):
     """A transient FS error during the resume listing must raise, not be

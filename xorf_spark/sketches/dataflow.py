@@ -439,9 +439,34 @@ def _bucket_build_fn(kind: str, params: dict, col: str):
     return build
 
 
+def _sketch_table_stamp(kind: str, params: dict, n_buckets: int,
+                        key_def: str | None) -> str:
+    """Canonical wiring+derivation tag stamped on a sketch lineage table.
+
+    Covers BOTH hazards a resume can silently mix (r4 verdict item 8,
+    same class as ``build_filter_table``'s ``_XORF_KEYDEF``):
+
+    - ``key_def``: the upstream definition of the sketched column (e.g.
+      ``shingle_key_def(8)``) — resuming after the derivation changed
+      would merge sketches of two different universes into one estimate;
+    - the wiring itself (kind/params/n_buckets): a resumed build with a
+      different ``n_buckets`` reinterprets committed ``part_id``s as a
+      DIFFERENT hash range, so the skip-done filter drops live data; a
+      changed ``params`` (e.g. HLL p) makes partials unmergeable or, for
+      additive sketches, silently wrong.
+    """
+    import json as _json
+
+    return _json.dumps(
+        {"kind": kind, "params": {k: params[k] for k in sorted(params)},
+         "n_buckets": int(n_buckets), "key_def": key_def},
+        sort_keys=True)
+
+
 def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
                        params: dict | None = None, n_buckets: int = 16,
-                       resume: bool = True) -> DataFrame:
+                       resume: bool = True,
+                       key_def: str | None = None) -> DataFrame:
     """Checkpoint-resumable sketch build: one partial per hash bucket,
     appended to a parquet lineage table ``(part_id, kind, payload, n_rows,
     build_secs)``. Restarts skip committed buckets.
@@ -453,17 +478,54 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
     MG / KLL / t-digest merges are ADDITIVE, so duplicated partials would
     silently double their mass (the r3 verdict's double-count finding;
     same class as the ``_stage_keys`` fix). ``sketch_from_table`` also
-    dedupes ``part_id`` on read as a belt-and-braces backstop."""
+    dedupes ``part_id`` on read as a belt-and-braces backstop.
+
+    The table is stamped with a ``_XORF_KEYDEF`` sidecar holding the full
+    wiring tag (:func:`_sketch_table_stamp`); any append — resumed or not
+    — refuses on mismatch, and an unstamped non-empty table refuses an
+    explicit ``key_def`` (unverifiable). Mirrors
+    ``dataflow.build_filter_table``."""
+    from ..dataflow import _read_keydef, _write_keydef
+
     params = dict(params or {})
     _check_kind(kind)
     spark = df.sparkSession
     done: set[int] = set()
+    table_seen = False
     if resume:
         try:
             done = {r.part_id for r in spark.read.parquet(path)
                     .select("part_id").distinct().collect()}
+            table_seen = True
         except AnalysisException:
             done = set()
+    stamp = _sketch_table_stamp(kind, params, n_buckets, key_def)
+    existing = _read_keydef(path)  # unconditional: appends always governed
+    if existing is not None and existing != stamp:
+        raise ValueError(
+            f"sketch-table wiring mismatch appending to {path!r}: table "
+            f"was built under {existing}, this build derives {stamp}. "
+            f"Mixed wirings corrupt the merged estimate (changed "
+            f"n_buckets reinterprets committed part_ids; changed params "
+            f"break the merge law; changed key_def merges two different "
+            f"key universes) — rebuild at a fresh path.")
+    if not resume and existing is None:
+        try:
+            table_seen = bool(spark.read.parquet(path).limit(1).take(1))
+        except AnalysisException:
+            pass
+    if table_seen and existing is None and key_def is not None:
+        raise ValueError(
+            f"sketch table at {path!r} has no wiring stamp (built before "
+            f"versioning); cannot prove it matches key_def={key_def!r}. "
+            f"Rebuild at a fresh path, or pass key_def=None only if the "
+            f"derivation never changed.")
+    if existing is None and not table_seen:
+        # fresh table: stamp BEFORE the data append (a crash in between
+        # leaves a stamped empty table that resumes cleanly). A legacy
+        # non-empty table is left UNSTAMPED — stamping it now would
+        # certify a wiring history this build cannot verify.
+        _write_keydef(path, stamp)
     bucketed = _drop_null_keys(
         df.select(F.col(col).alias(col)), col, kind).withColumn(
         "__bucket", bucket_col(col, kind, n_buckets))

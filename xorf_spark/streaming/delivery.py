@@ -122,9 +122,17 @@ def _frame_fingerprint(df: DataFrame, columns: list[str],
 
 
 def make_batch_processor(path: str, n_shards: int, columns: list[str],
-                         key_col: str | None = None, seed: int = 17):
+                         key_col: str | None = None, seed: int = 17,
+                         key_def: str | None = None):
     """The ``foreachBatch`` callback, exposed for direct driving (replay
-    tests, manual backfills of a specific batch id)."""
+    tests, manual backfills of a specific batch id).
+
+    ``key_def`` names the upstream DERIVATION of the delivered rows (e.g.
+    a shingle/key-definition tag) — the same resume-under-changed-
+    derivation guard as ``build_filter_table`` (r4 verdict item 8): a
+    restarted stream whose upstream definition changed would otherwise
+    silently append rows of a different universe to the same delivery.
+    Stamped into the manifest and checked with the other wiring args."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators._util import reserve_temp_cols
@@ -139,6 +147,7 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
             manifest = {"format": STREAM_MANIFEST_FORMAT, "n_rows": 0,
                         "n_shards": int(n_shards),
                         "seed": int(seed), "key_col": key_col,
+                        "key_def": key_def,
                         "columns": columns, "generation": 0,
                         "batches": [], "shards": {}}
         else:
@@ -147,10 +156,12 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
             # "new lineage" and silently appends the batch a second time;
             # a changed n_shards mixes two assignment functions in one
             # delivery (r4 review finding — the loud-refusal twin of
-            # build_filter_table's key_def check)
+            # build_filter_table's key_def check); a changed key_def
+            # appends rows derived under a DIFFERENT upstream definition
             want = {"n_shards": int(n_shards), "seed": int(seed),
-                    "key_col": key_col, "columns": list(columns)}
-            got = {k: manifest[k] for k in want}
+                    "key_col": key_col, "key_def": key_def,
+                    "columns": list(columns)}
+            got = {k: manifest.get(k) for k in want}
             if got != want:
                 raise ValueError(
                     f"delivery at {path!r} was written with {got}, but "
@@ -219,12 +230,15 @@ def make_batch_processor(path: str, n_shards: int, columns: list[str],
 
 
 def stream_training_shards(stream_df: DataFrame, path: str, n_shards: int,
-                           key_col: str | None = None, seed: int = 17):
+                           key_col: str | None = None, seed: int = 17,
+                           key_def: str | None = None):
     """``writeStream``-ready sink: call ``.start()`` (or trigger
     ``availableNow``) on the returned writer. Columns are fixed at wiring
-    time from the stream schema."""
+    time from the stream schema; ``key_def`` (optional) stamps the
+    upstream derivation into the manifest (see make_batch_processor)."""
     process = make_batch_processor(path, n_shards, list(stream_df.columns),
-                                   key_col=key_col, seed=seed)
+                                   key_col=key_col, seed=seed,
+                                   key_def=key_def)
     return stream_df.writeStream.foreachBatch(process).outputMode("append")
 
 
