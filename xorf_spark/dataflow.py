@@ -294,13 +294,51 @@ def build_filter_df(keys_df: DataFrame, kind: str = "bfuse8",
         _build_shard_fn(kind, uniform_random), SHARD_SCHEMA)
 
 
+def _make_batch_dedup():
+    """Factory (by-value pickling) for the optional per-PARTITION
+    ``np.unique`` pre-dedup in :func:`_stage_keys`. Duplicates of a key
+    always share a (shard, salt) partition — both are functions of the
+    key — so a whole-partition dedup removes ALL duplicate mass (per-
+    BATCH dedup does not: duplicates of a key are spread across the
+    partition's Arrow batches and almost never meet inside one — A/B'd,
+    BENCH/ROUND5_NOTES.md). Memory: the partition's keys resident once
+    (~8B/row; bounded by the staged-shard sizing, same order as the
+    build stage's own scratch). shard_id is a function of the key, so
+    uniquing keys alone is exact."""
+    def dedup_batches(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ks, ss = [], []
+        for b in batches:
+            ks.append(b.column("key").to_numpy(zero_copy_only=False))
+            ss.append(b.column("shard_id").to_numpy(zero_copy_only=False))
+        if not ks:
+            return
+        k = _np.concatenate(ks)
+        s = _np.concatenate(ss)
+        uk, idx = _np.unique(k, return_index=True)
+        yield _pa.record_batch(
+            [_pa.array(uk), _pa.array(s[idx])], names=["key", "shard_id"])
+
+    return dedup_batches
+
+
 def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
-                key_col: str = "key") -> list[int]:
+                key_col: str = "key", pre_dedup: bool = False) -> list[int]:
     """Shared staging stage: project non-null keys → hash-prefix shard id →
     ``write.partitionBy(shard_id)`` parquet (pure JVM), then return the
     shard ids that actually materialized. Used by both the staged build
     and the staged probe so the layout and the empty-input handling can
-    never drift apart."""
+    never drift apart.
+
+    ``pre_dedup`` inserts a post-shuffle Arrow ``np.unique`` batch-dedup
+    before the parquet encode. It breaks the pure-JVM property of the
+    spill (a JVM→python→JVM detour) and pays ONLY when the key stream
+    carries real duplicate mass — A/B'd in BENCH/ROUND5_NOTES.md: ~2x
+    spill shrink at dup-factor 4, pure overhead at the bench corpus's
+    dup-factor 1.0. Never used by probe staging (probe counts must keep
+    multiplicity)."""
     spark = keys_df.sparkSession
     # write parallelism: repartitioning to exactly n_shards caps the
     # parquet-encode stage at n_shards tasks (16 writers on a 32-core
@@ -311,11 +349,15 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
     # store sees O(cores) files, not O(input_partitions x n_shards).
     n_write = max(n_shards, spark.sparkContext.defaultParallelism * 2)
     salt = max(1, n_write // n_shards)
-    (keys_df.select(F.col(key_col).alias("key"))
-     .where(F.col(key_col).isNotNull())
-     .withColumn("shard_id", shard_id_col("key", n_shards))
-     .repartition(n_shards * salt, "shard_id",
-                  F.pmod(F.col("key"), F.lit(salt)))
+    staged = (keys_df.select(F.col(key_col).alias("key"))
+              .where(F.col(key_col).isNotNull())
+              .withColumn("shard_id", shard_id_col("key", n_shards))
+              .repartition(n_shards * salt, "shard_id",
+                           F.pmod(F.col("key"), F.lit(salt))))
+    if pre_dedup:
+        staged = staged.mapInArrow(_make_batch_dedup(),
+                                   "key long, shard_id int")
+    (staged
      .write.mode("overwrite")
      # uniform 64-bit keys are incompressible: snappy + dictionary yield
      # byte-identical file sizes (measured: 416MB either way at 54M keys)
@@ -424,7 +466,8 @@ def _shard_tasks(spark: SparkSession, shard_ids: list[int]) -> DataFrame:
 def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
                            kind: str = "bfuse8", n_shards: int | None = None,
                            key_col: str = "key",
-                           uniform_random: bool = True) -> DataFrame:
+                           uniform_random: bool = True,
+                           pre_dedup: bool = False) -> DataFrame:
     """Two-stage build that decouples the shuffle from the Python kernel:
 
     1. pure-JVM stage: project → repartition by hash-prefix shard →
@@ -441,13 +484,22 @@ def build_filter_df_staged(keys_df: DataFrame, stage_dir: str,
     (page-cache-speed locally; S3/HDFS at cluster scale, where the
     materialization barrier also buys elastic retry/rescheduling between
     the two stages — the classic staged-pipeline trade).
+
+    ``pre_dedup`` (default off): batch-``np.unique`` inside the spill
+    writer (see ``_stage_keys``). Membership is unchanged (the builder
+    drops duplicates exactly either way), but the bfuse ARRAY SIZING —
+    which follows the reference in using the raw count including
+    duplicates — then sees the deduped count, i.e. the filter is sized
+    as if built from the deduped stream. Worth it only for genuinely
+    duplicate-heavy key streams (BENCH/ROUND5_NOTES.md A/B).
     """
     spark = keys_df.sparkSession
     if n_shards is None:
         n_shards = pick_n_shards(
             keys_df.where(F.col(key_col).isNotNull()).count())
     fp_bits = _fp_bits(kind)
-    shard_ids = _stage_keys(keys_df, stage_dir, n_shards, key_col)
+    shard_ids = _stage_keys(keys_df, stage_dir, n_shards, key_col,
+                            pre_dedup=pre_dedup)
     if not shard_ids:
         return spark.createDataFrame([], SHARD_SCHEMA)
     tasks = _shard_tasks(spark, shard_ids)
