@@ -327,8 +327,15 @@ def test_codecs_roundtrip():
     x = rng.integers(-32768, 32768, 4444, dtype=np.int16)
     y, sr = codecs.decode_wav(codecs.encode_wav(x, 16000))
     assert sr == 16000 and np.array_equal(x, y)
-    with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"\xff\xd8\xff\xaa")  # JPEG: honest rejection
+    # JPEG is decoded for REAL since r5 (operators/jpeg.py): the sniff
+    # routes it, garbage after SOI fails loudly, a real payload decodes
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        codecs.decode_image(b"\xff\xd8\xff\xaa")
+    from xorf_spark.operators.jpeg import encode_jpeg
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    assert (codecs.decode_image(encode_jpeg(img, quality=75)) == img).all()
+    with pytest.raises(NotImplementedError):  # MP4 stays honestly absent
+        codecs.decode_image(b"\x00\x00\x00\x18ftypmp42")
 
 
 def test_frame_sample_stub(spark, docs_df):

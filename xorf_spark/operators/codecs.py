@@ -8,9 +8,13 @@ needed for the lossless formats a pipeline actually controls:
 - WAV  (PCM 16-bit via the stdlib ``wave`` module).
 
 Encoders for PNG/WAV exist so tests and the synthetic media table can
-round-trip real payloads deterministically. Lossy/container formats (JPEG,
-MP4, ...) genuinely require external codec libraries and raise
-``NotImplementedError`` at the sniff step.
+round-trip real payloads deterministically.
+
+Baseline JPEG is implemented from the public spec in pure numpy
+(``operators/jpeg.py`` — marker parse, Huffman, dequant, IDCT,
+YCbCr→RGB) and routed here at the sniff step. Progressive JPEG and
+container formats (MP4, ...) genuinely require external codec libraries
+and raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -230,9 +234,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "jpeg":
+        # baseline sequential DCT in pure numpy (operators/jpeg.py);
+        # progressive/arithmetic still raise NotImplementedError there
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"image format {fmt!r} needs external codec libraries "
-        "(PIL/libjpeg) not present in this environment")
+        "(ffmpeg/container demuxers) not present in this environment")
 
 
 # ---------------------------------------------------------------------------

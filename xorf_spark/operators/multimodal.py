@@ -224,6 +224,45 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, out_schema)
 
 
+def _jpeg_params(d: int) -> tuple[int, int, int, int]:
+    """Closed-form two-tone JPEG geometry for doc_id ``d`` — mirrored
+    literally by ORACLE_MEDIA_DECODE_JPEG. Heights are multiples of 16 so
+    the tone boundary falls on an 8-pixel block row: every 8x8 block is
+    UNIFORM, and at quality 75 (luma DC quant step exactly 8) a uniform
+    block round-trips with zero loss (operators/jpeg.py docstring)."""
+    h = 16 * (1 + d % 2)
+    w = 8 * (1 + d % 3)
+    return h, w, d % 256, (d * 7) % 256
+
+
+def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL baseline JPEG per row: two-tone grayscale (top half c1,
+    bottom c2, both halves whole 8x8 block rows), encoded by the pure-
+    numpy baseline encoder at quality 75. Decode through the full JPEG
+    path (markers → Huffman → dequant → IDCT) is pixel-exact for this
+    geometry, so the SQL oracle can recompute every stat in closed form."""
+    from .jpeg import encode_jpeg
+
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                h, w, c1, c2 = _jpeg_params(int(d))
+                arr = np.full((h, w), c2, np.uint8)
+                arr[: h // 2] = c1
+                payloads.append(encode_jpeg(arr, quality=75))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "kind": "image", "payload": payloads})
+
+    return df.select(id_col).mapInPandas(run, out_schema)
+
+
 def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One REAL 16-bit PCM WAV per row: square wave of amplitude ``amp`` and
     whole-period length, so RMS and zero-crossing counts have exact closed

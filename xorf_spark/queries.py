@@ -1815,6 +1815,43 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-exact (VERDICT-r4 item 5): one
+    two-tone grayscale JPEG per doc_id, encoded by the pure-numpy
+    baseline encoder (operators/jpeg.py) at quality 75 and decoded back
+    through the FULL decode path — marker parse, canonical Huffman (DC
+    prediction incl. negative diffs across the tone boundary), dequant,
+    zigzag, IDCT. Both tones fill whole 8x8 block rows and the q75 luma
+    DC step is exactly 8, so every block round-trips with ZERO loss and
+    the oracle recomputes width/height/pixel-mean in closed form — a
+    hash match proves bit-exact reconstruction through lossy-format
+    plumbing."""
+    from .operators.multimodal import image_stats, synth_jpegs
+
+    docs = load(spark, sf_dir, "documents")
+    media = synth_jpegs(docs)
+    return (image_stats(media)
+            .select("doc_id", "width", "height", "mean_val")
+            .orderBy("doc_id"))
+
+
+ORACLE_MEDIA_DECODE_JPEG = """
+WITH p AS (
+  SELECT doc_id,
+         16 * (1 + doc_id % 2) AS h,
+         8 * (1 + doc_id % 3) AS w,
+         doc_id % 256 AS c1,
+         (doc_id * 7) % 256 AS c2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       (c1 + c2) / 2.0 AS mean_val
+FROM p ORDER BY doc_id
+"""
+
+
 def q_media_decode_audio(spark, sf_dir):
     """REAL audio decode, oracle-exact: synthesize a 16-bit PCM WAV square
     wave per doc_id (amplitude/period/rate closed-form in doc_id, whole
@@ -2034,7 +2071,7 @@ _GATE_ORDER = [
     "lm_quality", "mixture_sample", "embedding_neardup_ivf",
     "contamination_report", "stratified_take", "mg_group_top_word",
     "hll_shingle_distinct", "tdigest_group_quantiles",
-    "media_decode_audio", "ivf_ann_exhaustive",
+    "media_decode_audio", "media_decode_jpeg",
     "neardup_components", "simhash",
     # ---- position 50 ends above; variant pool awaiting rotation below.
     # Official-row coverage of this tail: every name below has r1-r4 rows
@@ -2057,6 +2094,7 @@ _GATE_ORDER = [
     "token_count",               # token counting: token_table (r1-r3)
     "bfuse16_antijoin",          # membership joins: bfuse8_semijoin (r1-r2)
     "xor16_semijoin_part",       # membership joins: bfuse8_semijoin (r1-r2)
+    "ivf_ann_exhaustive",        # ANN family: ann_cosine_topk (r2)
 ]
 
 #: Queries past the driver's ~50-row evaluation window. Recorded here (and
@@ -2124,6 +2162,7 @@ def registry() -> dict[str, tuple]:
         "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
         "multimodal_bytes": (q_multimodal_bytes, ORACLE_MULTIMODAL_BYTES),
         "media_decode_image": (q_media_decode_image, ORACLE_MEDIA_DECODE_IMAGE),
+        "media_decode_jpeg": (q_media_decode_jpeg, ORACLE_MEDIA_DECODE_JPEG),
         "media_decode_audio": (q_media_decode_audio, ORACLE_MEDIA_DECODE_AUDIO),
         "build_metrics": (q_build_metrics, ORACLE_BUILD_METRICS),
         "fpp_measure": (q_fpp_measure, ORACLE_FPP_MEASURE),
