@@ -263,7 +263,15 @@ def main() -> None:
     probe_rate = n_keys / timings["probe_bfuse8"]
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
 
-    # staged bulk probe (no JVM->python key feed; the 0.88-scaling path)
+    # staged bulk probe (no JVM->python key feed; the 0.88-scaling path).
+    # One untimed warm-up first, mirroring the builds' warm-up above: the
+    # first probe_staged call in a context ships the fingerprint files to
+    # executors and faults their pages into cache; measured x5 decay
+    # 10.0->9.0->7.6->4.2->4.1s shows best-of-3 alone still lands on the
+    # warm-up slope, not the ~4.1s steady state a long-running job sees.
+    warm_pdir = tempfile.mkdtemp(prefix="xorf_pstage_warm_")
+    D.probe_staged(probes, table, warm_pdir).agg(F.sum("n_probes")).collect()
+    shutil.rmtree(warm_pdir, ignore_errors=True)
     pstage_dir = tempfile.mkdtemp(prefix="xorf_pstage_")
     bench("probe_bfuse8_staged",
           lambda: D.probe_staged(probes, table, pstage_dir)
