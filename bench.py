@@ -151,10 +151,14 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best, out
 
+    repeat_overrides: dict[str, int] = {}
+
     def bench(name: str, fn, n=repeats):
         """best-of-n measurement stamped with the loadavg and co-tenant
         CPU fraction it started at (gated on the latter)."""
         _row_gate(name)
+        if n != repeats:
+            repeat_overrides[name] = n
         secs, out = best_of(fn, n)
         timings[name] = round(secs, 3)
         return out
@@ -216,6 +220,10 @@ def main() -> None:
             "n_keys": 8_000_000, "block_length": None}
     _table = D.FilterTable({0: _row}, 1)
     _probes = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
+    # Untimed warm-up (same precedent as the builds / staged probe): the
+    # first where_member call pays whole-stage-codegen JIT + the filter
+    # broadcast; measured x6 decay 8.4->2.7->1.4->1.1s, steady ~1.1-1.3s.
+    _table.where_member(_probes, "key").count()
     bench("probe_bfuse8_clean",
           lambda: _table.where_member(_probes, "key").count())
     probe_clean_rate = n_keys / timings["probe_bfuse8_clean"]
@@ -258,8 +266,13 @@ def main() -> None:
     table = D.FilterTable.from_df(shard_bf, n_shards=n_shards)
     probes = spark.range(n_keys).select(
         F.xxhash64(F.col("id") + 999_000_000).alias("key"))
+    # Best-of-5 for the two post-build probe rows: they run inside the
+    # JVM python-feed regime (see the sketch note), whose onset noise
+    # produced a 1.29-1.75s spread ACROSS otherwise-clean runs; more
+    # samples within one run shrink the official row's variance.
     n_acc = bench("probe_bfuse8",
-                  lambda: table.where_member(probes, "key").count())
+                  lambda: table.where_member(probes, "key").count(),
+                  n=max(repeats, 5))
     probe_rate = n_keys / timings["probe_bfuse8"]
     fpp = n_acc / n_keys  # probes disjoint from build keys w.h.p.
 
@@ -275,7 +288,8 @@ def main() -> None:
     pstage_dir = tempfile.mkdtemp(prefix="xorf_pstage_")
     bench("probe_bfuse8_staged",
           lambda: D.probe_staged(probes, table, pstage_dir)
-          .agg(F.sum("n_probes")).collect()[0][0])
+          .agg(F.sum("n_probes")).collect()[0][0],
+          n=max(repeats, 5))
     probe_staged_rate = n_keys / timings["probe_bfuse8_staged"]
     shard_bf.unpersist()
 
@@ -385,6 +399,7 @@ def main() -> None:
         "loadavg_per_query": loads,
         "cotenant_cpu_per_query": cotenant,
         "cotenant_gate": {"max": max_cotenant, "row_wait_sec": row_wait},
+        "repeats_per_query": repeat_overrides,
         "queries": timings,
         "derived": {
             **stream_derived,
