@@ -27,13 +27,18 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Measurement-hygiene contract (VERDICT r4 what's-wrong #1): the printed
 JSON stamps the 1-min loadavg at start/end, PER QUERY at each
-measurement's start, the per-query co-tenant CPU fraction (sampled
-self-idle, so it separates foreign load from our own trailing work —
-1-min loadavg alone cannot), and the best-of repeat count — a
-regression on an unchanged code path is falsifiable from the artifact
-alone. A round-5 preview run demonstrated why start-only gating is not
-enough: a burst arriving mid-run inflated rows 10-500% while the start
-stamp read 0.02.
+measurement's start, the per-query co-tenant fraction (busy+steal,
+sampled self-idle, so it separates foreign load from our own trailing
+work — 1-min loadavg alone cannot), the hypervisor STEAL fraction
+across each row's whole wall time (the one contention channel
+measurable while our own run saturates the vCPUs — this sandbox is a
+Firecracker microVM, so a neighbor VM hogging the physical cores is
+invisible to in-VM busy accounting), every repeat's wall time, and the
+best-of repeat count — a regression on an unchanged code path is
+falsifiable from the artifact alone. Round-5 preview runs demonstrated
+both failure modes: a start-only loadavg gate of 0.02 followed by
+10-500% row inflation, then a run with clean per-row busy stamps whose
+python-feed rows were 3-10x inflated by a sustained mid-row wave.
 """
 
 from __future__ import annotations
@@ -90,14 +95,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}  # 1-min loadavg at each row's measurement
-    cotenant: dict[str, float] = {}  # foreign-CPU fraction at each row
+    cotenant: dict[str, float] = {}  # foreign busy+steal fraction at row start
 
     def _cpu_times():
         with open("/proc/stat") as fh:
             parts = fh.readline().split()[1:]
         vals = [int(x) for x in parts]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
-        return idle, sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0  # hypervisor steal
+        return idle, steal, sum(vals)
 
     def _cotenant_cpu(sample_s: float = 0.7) -> float:
         """Fraction of ALL cores busy while THIS process sleeps.
@@ -107,60 +113,81 @@ def main() -> None:
         threads). Unlike the 1-min loadavg this is not contaminated by
         our own just-finished 32-thread stage — loadavg decays over
         minutes, /proc/stat deltas are instantaneous.
+
+        Returns (busy_frac, steal_frac): busy catches in-VM co-tenants,
+        steal catches HYPERVISOR-level contention (this sandbox is a
+        Firecracker microVM — another VM hogging the physical cores is
+        invisible to in-VM busy accounting but shows up as steal).
         """
         try:
-            i0, t0 = _cpu_times()
+            i0, s0, t0 = _cpu_times()
             time.sleep(sample_s)
-            i1, t1 = _cpu_times()
+            i1, s1, t1 = _cpu_times()
         except OSError:  # no /proc (non-Linux) — gate disarms, stamp 0
-            return 0.0
+            return 0.0, 0.0
         dt = t1 - t0
-        return round(1.0 - (i1 - i0) / dt, 3) if dt > 0 else 0.0
+        if dt <= 0:
+            return 0.0, 0.0
+        steal = round((s1 - s0) / dt, 3)
+        return round(1.0 - (i1 - i0) / dt - steal, 3), steal
 
     max_cotenant = float(os.environ.get("XORF_BENCH_MAX_COTENANT", "0.25"))
     row_wait = float(os.environ.get("XORF_BENCH_ROW_WAIT_SEC", "90"))
+    steal_during: dict[str, float] = {}  # hypervisor steal DURING the row
 
     def _row_gate(name: str):
         """Stamp loadavg + co-tenant CPU for a row; wait out foreign
         bursts (bounded) so the measurement starts on honest cores."""
         loads[name] = round(os.getloadavg()[0], 2)
-        c = _cotenant_cpu()
+        b, s = _cotenant_cpu()
         waited = 0.0
-        while c > max_cotenant and waited < row_wait:
+        while (b + s) > max_cotenant and waited < row_wait:
             time.sleep(10)
             waited += 10
-            c = _cotenant_cpu()
-        cotenant[name] = c
+            b, s = _cotenant_cpu()
+        cotenant[name] = round(b + s, 3)
 
-    def timed(name: str, fn):
-        _row_gate(name)
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
+    def _stamp_steal(name: str, fn):
+        """Run fn stamping the steal fraction across its whole wall time —
+        the one contention channel measurable WHILE we saturate the vCPUs
+        (a start-of-row sample cannot see a wave that arrives mid-row)."""
+        try:
+            _, s0, t0 = _cpu_times()
+        except OSError:
+            return fn()
+        try:
+            return fn()
+        finally:
+            _, s1, t1 = _cpu_times()
+            if t1 > t0:
+                steal_during[name] = round((s1 - s0) / (t1 - t0), 3)
+
 
     n_shards = 128
     repeats = int(os.environ.get("XORF_BENCH_REPEATS", "3"))
     keys = spark.range(n_keys).select(F.xxhash64("id").alias("key"))
 
     def best_of(fn, n=repeats):
-        best, out = float("inf"), None
+        times, out = [], None
         for _ in range(n):
             t0 = time.time()
             out = fn()
-            best = min(best, time.time() - t0)
-        return best, out
+            times.append(round(time.time() - t0, 3))
+        return times, out
 
     repeat_overrides: dict[str, int] = {}
+    repeat_times: dict[str, list] = {}  # EVERY repeat's wall time
 
     def bench(name: str, fn, n=repeats):
         """best-of-n measurement stamped with the loadavg and co-tenant
-        CPU fraction it started at (gated on the latter)."""
+        CPU fraction it started at (gated on the latter), every repeat's
+        wall time, and the steal fraction across the whole row."""
         _row_gate(name)
         if n != repeats:
             repeat_overrides[name] = n
-        secs, out = best_of(fn, n)
-        timings[name] = round(secs, 3)
+        times, out = _stamp_steal(name, lambda: best_of(fn, n))
+        timings[name] = round(min(times), 3)
+        repeat_times[name] = times
         return out
 
     # --- mergeable sketch UDAFs (north rule) ---------------------------------
@@ -400,6 +427,8 @@ def main() -> None:
         "cotenant_cpu_per_query": cotenant,
         "cotenant_gate": {"max": max_cotenant, "row_wait_sec": row_wait},
         "repeats_per_query": repeat_overrides,
+        "repeat_times_per_query": repeat_times,
+        "steal_frac_per_query": steal_during,
         "queries": timings,
         "derived": {
             **stream_derived,
