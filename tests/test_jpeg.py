@@ -178,3 +178,51 @@ def test_jpeg_error_paths():
         decode_jpeg(payload[:40])  # truncated before/inside scan
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload[:-24]) + b"\x00" * 2)  # torn entropy tail
+
+
+def test_jpeg_bit_io_linear_time():
+    """The bit accumulator must stay bounded: an unmasked accumulator
+    grows into a bigint spanning the whole entropy stream and turns
+    decode O(n^2) (measured 41s for a 512x512 before the fix)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    t0 = time.time()
+    out = decode_jpeg(payload)
+    took = time.time() - t0
+    assert out.shape == img.shape
+    # pre-fix this took ~4.4s on this box; post-fix well under a second.
+    # 3s keeps the guard loose enough for a loaded CI box.
+    assert took < 3.0, f"quadratic bit-io suspected: {took:.1f}s"
+
+
+def test_jpeg_multiscan_refused():
+    """A baseline JPEG coded as per-component sequential scans must be
+    refused (decoding only the first scan would silently return a
+    luma-only image), mirroring the module's honest-refusal contract."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack([yy * 8, xx * 8, yy + xx], axis=-1).astype(np.uint8)
+    payload = bytearray(encode_jpeg(rgb, quality=85, subsampling="444"))
+    # rewrite the SOS header to claim a single-component (Y-only) scan:
+    # marker FFDA, len(2) 000C, ns=3, (id,tabs)x3, Ss/Se/AhAl
+    i = payload.index(b"\xff\xda")
+    assert payload[i + 4] == 3
+    payload[i + 2:i + 5] = b"\x00\x08\x01"      # len=8, ns=1
+    del payload[i + 7:i + 11]                   # drop components 2-3
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_truncated_at_restart_boundary():
+    """Truncation exactly at a restart boundary must raise the module's
+    ValueError contract, not an IndexError."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=85, restart_interval=1)
+    cut = payload.index(bytes([0xFF, 0xD1]))    # second restart marker
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:cut + 1])          # ends mid-marker
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:cut])              # ends at the boundary

@@ -2141,3 +2141,48 @@ def test_stream_delivery_key_def_wiring_guard(spark, tmp_path):
         F.format_string("k%d", "id").alias("key"), F.col("id").alias("v"))
     p4(b2, 1)
     assert read_stream_manifest(out)["n_rows"] == 80
+
+
+def test_read_with_fallback_propagates_real_io_errors(tmp_path):
+    """Only not-found means "missing": a genuine I/O failure (auth,
+    throttling) must PROPAGATE — swallowing it would make the callers
+    reinitialize over committed state (fresh manifest over a delivered
+    one; pointer-less refresh pruning live version dirs)."""
+    from pyarrow import fs as pafs
+
+    from xorf_spark.operators.sink import _read_with_fallback
+
+    target = tmp_path / "POINTER"
+    target.write_text("committed")
+
+    class _ThrottlingFS:
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+
+        def open_input_stream(self, path):
+            raise OSError("AWS Error SLOW_DOWN (503) during GetObject")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    with pytest.raises(OSError, match="SLOW_DOWN"):
+        _read_with_fallback(_ThrottlingFS(), str(target))
+
+    class _VanishingFS:
+        """Both candidates stat as present but vanish before open — the
+        benign swap race; the reader retries and then reports missing
+        rather than erroring."""
+
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+
+        def get_file_info(self, path):
+            return self._fs.get_file_info(str(target))  # always "exists"
+
+        def open_input_stream(self, path):
+            raise FileNotFoundError(path)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    assert _read_with_fallback(_VanishingFS(), str(target)) is None

@@ -562,6 +562,45 @@ def _write_keydef(path: str, tag: str) -> None:
         fh.write(tag.encode("utf-8"))
 
 
+def _guard_stamped_append(path: str, stamp: str | None, declared,
+                          resume: bool, table_seen: bool, probe,
+                          mismatch_msg, unstamped_msg,
+                          probe_always: bool = False) -> bool:
+    """Shared stamp/refuse flow for append-able versioned tables — filter
+    shard tables here and sketch lineage tables
+    (``sketches.dataflow.build_sketch_table``). One implementation so a
+    guard fix cannot land on one table type and silently miss the other.
+
+    * The sidecar is read UNCONDITIONALLY: appends are governed whether
+      or not this run resumes (``resume=False`` still appends).
+    * ``stamp`` different from an existing sidecar raises
+      ``mismatch_msg(existing)``.
+    * With ``resume=False`` (no done-ids scan proved non-emptiness) the
+      table's existence is probed via ``probe()`` when either
+      ``probe_always`` or a ``declared`` definition makes an unstamped
+      append refusable; path-not-found means "fresh".
+    * A non-empty unstamped table with a ``declared`` definition raises
+      ``unstamped_msg()`` — compatibility can't be proven.
+
+    Returns True when the caller should write the stamp BEFORE its data
+    append (fresh table with a stamp to record); a legacy non-empty
+    table is left unstamped — stamping it would certify a history this
+    build cannot verify.
+    """
+    existing = _read_keydef(path)
+    if existing is not None and stamp != existing:
+        raise ValueError(mismatch_msg(existing))
+    if (not resume and existing is None
+            and (probe_always or declared is not None)):
+        try:
+            table_seen = bool(probe())
+        except AnalysisException:
+            pass
+    if table_seen and existing is None and declared is not None:
+        raise ValueError(unstamped_msg())
+    return existing is None and stamp is not None and not table_seen
+
+
 def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
                        n_shards: int | None = None, key_col: str = "key",
                        resume: bool = True, stage_dir: str | None = None,
@@ -603,32 +642,21 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
             # probe loaders key by shard_id — but rebuilding every shard
             # on a flaky listing is still wrong)
             done_ids = set()
-    # the stamp is read UNCONDITIONALLY: with ``resume=False`` the write
-    # below still APPENDS shards to whatever lives at ``path``, so a
-    # stamped table must refuse a different key definition here too —
-    # otherwise resume=False both mixes definitions and overwrites the
-    # sidecar with the new tag, certifying the mixed table (r4 advice #2)
-    existing = _read_keydef(path)
-    if existing is not None and key_def != existing:
-        raise ValueError(
+    # shared guard (r4 advice #2 lineage): sidecar read unconditionally,
+    # mismatch/unstamped refusal, resume=False existence probe
+    should_stamp = _guard_stamped_append(
+        path, key_def, key_def, resume, bool(done_ids),
+        lambda: spark.read.parquet(path).limit(1).take(1),
+        lambda existing: (
             f"key-definition mismatch appending to {path!r}: table was "
             f"built under {existing!r}, current build derives "
             f"{key_def!r}. Mixed-key shards would probe as silent "
-            f"false negatives — rebuild the table at a fresh path.")
-    table_nonempty = bool(done_ids)
-    if not resume and key_def is not None and existing is None:
-        # resume=True proves non-emptiness via done_ids; here a cheap
-        # existence probe closes the legacy-unstamped append hole
-        try:
-            table_nonempty = bool(spark.read.parquet(path).limit(1).take(1))
-        except AnalysisException:
-            pass
-    if table_nonempty and existing is None and key_def is not None:
-        raise ValueError(
+            f"false negatives — rebuild the table at a fresh path."),
+        lambda: (
             f"table at {path!r} has no key-definition stamp (built "
             f"before versioning); cannot prove it matches "
             f"{key_def!r}. Rebuild at a fresh path, or pass "
-            f"key_def=None only if the definition never changed.")
+            f"key_def=None only if the definition never changed."))
 
     if n_shards is None:
         keys = keys_df.select(F.col(key_col).alias("key")).distinct()
@@ -653,7 +681,7 @@ def build_filter_table(keys_df: DataFrame, path: str, kind: str = "bfuse8",
     # stamp BEFORE the data append: a crash in between leaves a stamped
     # empty/partial table that resumes cleanly, whereas data-then-stamp
     # could strand an unstamped table that later resumes refuse
-    if key_def is not None and existing is None:
+    if should_stamp:
         _write_keydef(path, key_def)
     shard_df.write.mode("append").parquet(path)
     return spark.read.parquet(path)

@@ -181,6 +181,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # Truncate consumed high bits: without this the accumulator grows
+        # into a bigint spanning the whole stream and every shift copies
+        # it — O(n^2) in stream length (measured: ~10x per 4x pixels).
+        self.acc &= (1 << self.nbits) - 1
 
     def align(self) -> None:
         """Pad to a byte boundary with 1-bits (spec F.1.2.3)."""
@@ -211,8 +215,9 @@ class _BitReader:
                 raise ValueError("hit marker inside entropy segment")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # Mask to live bits — same quadratic-bigint hazard as the writer.
+        self.acc = ((self.acc << 8) | b) & ((1 << self.nbits) - 1)
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -240,6 +245,8 @@ class _BitReader:
         """Restart boundary: drop pad bits, consume RSTn."""
         self.acc, self.nbits = 0, 0
         d = self.data
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG at restart boundary")
         if d[self.pos] != 0xFF or (d[self.pos + 1] & 0xF8) != 0xD0:
             raise ValueError("expected RST marker at restart boundary")
         if (d[self.pos + 1] & 0x07) != (n & 0x07):
@@ -492,6 +499,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # A spec-legal baseline image may be coded as several
+                # sequential non-interleaved scans (one per component);
+                # decoding only the first would silently return a
+                # luma-only image. Refuse honestly instead.
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG: scan "
+                    f"covers {ns} of {len(frame['comps'])} components")
             scan = []
             for i in range(ns):
                 cs, t = seg[1 + 2 * i], seg[2 + 2 * i]

@@ -88,18 +88,30 @@ def _move_replace(fsys, src: str, dst: str) -> None:
 def _read_with_fallback(fsys, path: str) -> bytes | None:
     """Read ``path``; when missing, fall back to the ``path + ".old"``
     aside copy a crashed :func:`_move_replace` may have left (the
-    previous committed value). Returns None when neither exists."""
+    previous committed value). Returns None when neither exists.
+
+    ONLY not-found conditions are treated as "missing": a genuine I/O
+    failure (auth, throttling, network) propagates. Swallowing it would
+    convert a transient S3 503 into "no manifest yet" — and the callers
+    then *reinitialize* (fresh manifest over a committed one,
+    pointer-less refresh pruning live version dirs), which is exactly
+    the silent-loss class this module exists to prevent. A not-found on
+    ``open`` after a successful stat is the benign race with a
+    concurrent swap/cleanup; the outer pass retries the pair once so a
+    reader overlapping a fallback swap still lands on a committed copy.
+    """
     from pyarrow import fs as pafs
 
-    for cand in (path, path + ".old"):
-        if fsys.get_file_info(cand).type != pafs.FileType.NotFound:
-            try:
-                with fsys.open_input_stream(cand) as fh:
-                    return fh.read()
-            except (OSError, FileNotFoundError):
-                # raced a concurrent swap/cleanup between stat and open —
-                # re-stat the next candidate rather than failing the read
-                continue
+    for _attempt in range(2):
+        for cand in (path, path + ".old"):
+            if fsys.get_file_info(cand).type != pafs.FileType.NotFound:
+                try:
+                    with fsys.open_input_stream(cand) as fh:
+                        return fh.read()
+                except FileNotFoundError:
+                    # raced a concurrent swap/cleanup between stat and
+                    # open — try the other candidate / second pass
+                    continue
     return None
 
 

@@ -485,7 +485,7 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
     — refuses on mismatch, and an unstamped non-empty table refuses an
     explicit ``key_def`` (unverifiable). Mirrors
     ``dataflow.build_filter_table``."""
-    from ..dataflow import _read_keydef, _write_keydef
+    from ..dataflow import _guard_stamped_append, _write_keydef
 
     params = dict(params or {})
     _check_kind(kind)
@@ -500,27 +500,26 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
         except AnalysisException:
             done = set()
     stamp = _sketch_table_stamp(kind, params, n_buckets, key_def)
-    existing = _read_keydef(path)  # unconditional: appends always governed
-    if existing is not None and existing != stamp:
-        raise ValueError(
-            f"sketch-table wiring mismatch appending to {path!r}: table "
-            f"was built under {existing}, this build derives {stamp}. "
-            f"Mixed wirings corrupt the merged estimate (changed "
-            f"n_buckets reinterprets committed part_ids; changed params "
-            f"break the merge law; changed key_def merges two different "
-            f"key universes) — rebuild at a fresh path.")
-    if not resume and existing is None:
-        try:
-            table_seen = bool(spark.read.parquet(path).limit(1).take(1))
-        except AnalysisException:
-            pass
-    if table_seen and existing is None and key_def is not None:
-        raise ValueError(
-            f"sketch table at {path!r} has no wiring stamp (built before "
-            f"versioning); cannot prove it matches key_def={key_def!r}. "
-            f"Rebuild at a fresh path, or pass key_def=None only if the "
-            f"derivation never changed.")
-    if existing is None and not table_seen:
+    # shared guard with build_filter_table (one implementation for both
+    # table types); probe_always because the stamp covers kind/params/
+    # n_buckets too, so existence matters even with key_def=None
+    if _guard_stamped_append(
+            path, stamp, key_def, resume, table_seen,
+            lambda: spark.read.parquet(path).limit(1).take(1),
+            lambda existing: (
+                f"sketch-table wiring mismatch appending to {path!r}: "
+                f"table was built under {existing}, this build derives "
+                f"{stamp}. Mixed wirings corrupt the merged estimate "
+                f"(changed n_buckets reinterprets committed part_ids; "
+                f"changed params break the merge law; changed key_def "
+                f"merges two different key universes) — rebuild at a "
+                f"fresh path."),
+            lambda: (
+                f"sketch table at {path!r} has no wiring stamp (built "
+                f"before versioning); cannot prove it matches "
+                f"key_def={key_def!r}. Rebuild at a fresh path, or pass "
+                f"key_def=None only if the derivation never changed."),
+            probe_always=True):
         # fresh table: stamp BEFORE the data append (a crash in between
         # leaves a stamped empty table that resumes cleanly). A legacy
         # non-empty table is left UNSTAMPED — stamping it now would
