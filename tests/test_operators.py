@@ -2169,9 +2169,10 @@ def test_read_with_fallback_propagates_real_io_errors(tmp_path):
         _read_with_fallback(_ThrottlingFS(), str(target))
 
     class _VanishingFS:
-        """Both candidates stat as present but vanish before open — the
-        benign swap race; the reader retries and then reports missing
-        rather than erroring."""
+        """Both candidates stat as present but every open races away:
+        stat proved a committed value existed moments ago, so reporting
+        'missing' (→ reinitialize over committed state) must not happen
+        — the exhausted retry raises instead."""
 
         def __init__(self):
             self._fs = pafs.LocalFileSystem()
@@ -2185,4 +2186,24 @@ def test_read_with_fallback_propagates_real_io_errors(tmp_path):
         def __getattr__(self, name):
             return getattr(self._fs, name)
 
-    assert _read_with_fallback(_VanishingFS(), str(target)) is None
+    with pytest.raises(OSError, match="refusing to report it missing"):
+        _read_with_fallback(_VanishingFS(), str(target))
+
+    class _AbsentFS:
+        """Nothing exists: 'missing' is the honest answer, and the
+        reader must not burn a second stat pass discovering it."""
+
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+            self.stats = 0
+
+        def get_file_info(self, path):
+            self.stats += 1
+            return self._fs.get_file_info(str(target) + ".nope")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    absent = _AbsentFS()
+    assert _read_with_fallback(absent, str(target)) is None
+    assert absent.stats == 2  # one pass over (path, path.old), no retry

@@ -514,7 +514,13 @@ def test_sketch_table_wiring_stamp_guard(spark, keyed_df, tmp_path):
                                args["params"], n_buckets=args["n_buckets"],
                                key_def=args["key_def"], resume=False)
 
-    # legacy (pre-stamp) table simulation: data without a sidecar
+    # legacy (pre-stamp) table simulation: data without a sidecar.
+    # Unlike the filter table (whose stamp covers ONLY an optional
+    # key_def), the sketch wiring — kind/params/n_buckets — is always
+    # declared, so there is no "declared nothing, nothing to check"
+    # case: ANY append to an unverifiable table refuses, key_def or not
+    # (an unstamped table could hold any n_buckets; appending under a
+    # different one silently corrupts the merged estimate).
     legacy = str(tmp_path / "legacy")
     build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
                        n_buckets=8)
@@ -524,11 +530,11 @@ def test_sketch_table_wiring_stamp_guard(spark, keyed_df, tmp_path):
     with pytest.raises(ValueError, match="no wiring stamp"):
         build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
                            n_buckets=8, key_def="shingle/v2/k=8")
-    # legacy + key_def=None keeps working and is NOT retro-stamped
-    build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
-                       n_buckets=8)
+    with pytest.raises(ValueError, match="no wiring stamp"):
+        build_sketch_table(keyed_df, "key", "hll", legacy, {"p": 12},
+                           n_buckets=8)  # key_def=None is NOT an opt-out
     from xorf_spark.dataflow import _read_keydef
-    assert _read_keydef(legacy) is None
+    assert _read_keydef(legacy) is None  # refusal did not retro-stamp
 
 
 def test_sketch_table_resume_propagates_real_errors(spark, tmp_path,

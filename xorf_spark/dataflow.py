@@ -565,7 +565,8 @@ def _write_keydef(path: str, tag: str) -> None:
 def _guard_stamped_append(path: str, stamp: str | None, declared,
                           resume: bool, table_seen: bool, probe,
                           mismatch_msg, unstamped_msg,
-                          probe_always: bool = False) -> bool:
+                          probe_always: bool = False,
+                          refuse_unstamped_always: bool = False) -> bool:
     """Shared stamp/refuse flow for append-able versioned tables — filter
     shard tables here and sketch lineage tables
     (``sketches.dataflow.build_sketch_table``). One implementation so a
@@ -581,6 +582,13 @@ def _guard_stamped_append(path: str, stamp: str | None, declared,
       append refusable; path-not-found means "fresh".
     * A non-empty unstamped table with a ``declared`` definition raises
       ``unstamped_msg()`` — compatibility can't be proven.
+      ``refuse_unstamped_always`` extends the refusal to ``declared is
+      None``: the sketch table's stamp covers kind/params/n_buckets,
+      which are ALWAYS declared (function arguments), so — unlike the
+      filter table's key-def-only stamp — there is no "nothing was
+      declared, nothing to check" case; an unstamped non-empty sketch
+      table could hold any wiring and appending to it under a changed
+      n_buckets would silently corrupt the merged estimate.
 
     Returns True when the caller should write the stamp BEFORE its data
     append (fresh table with a stamp to record); a legacy non-empty
@@ -596,7 +604,8 @@ def _guard_stamped_append(path: str, stamp: str | None, declared,
             table_seen = bool(probe())
         except AnalysisException:
             pass
-    if table_seen and existing is None and declared is not None:
+    if table_seen and existing is None and (declared is not None
+                                            or refuse_unstamped_always):
         raise ValueError(unstamped_msg())
     return existing is None and stamp is not None and not table_seen
 

@@ -99,12 +99,18 @@ def _read_with_fallback(fsys, path: str) -> bytes | None:
     ``open`` after a successful stat is the benign race with a
     concurrent swap/cleanup; the outer pass retries the pair once so a
     reader overlapping a fallback swap still lands on a committed copy.
+    "None" is returned only when NO stat ever saw a candidate: if stat
+    observed a file but every open raced away, something held a
+    committed value moments ago — reporting "missing" would trigger the
+    same reinitialize-over-committed-state hazard, so that raises too.
     """
     from pyarrow import fs as pafs
 
+    saw_stat_hit = False
     for _attempt in range(2):
         for cand in (path, path + ".old"):
             if fsys.get_file_info(cand).type != pafs.FileType.NotFound:
+                saw_stat_hit = True
                 try:
                     with fsys.open_input_stream(cand) as fh:
                         return fh.read()
@@ -112,7 +118,12 @@ def _read_with_fallback(fsys, path: str) -> bytes | None:
                     # raced a concurrent swap/cleanup between stat and
                     # open — try the other candidate / second pass
                     continue
-    return None
+        if not saw_stat_hit:
+            return None  # genuinely absent — skip the retry pass
+    raise OSError(
+        f"{path!r}: stat observed a committed copy but every open raced "
+        f"a concurrent swap/cleanup (4 attempts across both candidates) "
+        f"— refusing to report it missing; retry the read")
 
 
 def _row_hash(df: DataFrame, seed: int):

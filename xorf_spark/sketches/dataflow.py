@@ -482,9 +482,11 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
 
     The table is stamped with a ``_XORF_KEYDEF`` sidecar holding the full
     wiring tag (:func:`_sketch_table_stamp`); any append — resumed or not
-    — refuses on mismatch, and an unstamped non-empty table refuses an
-    explicit ``key_def`` (unverifiable). Mirrors
-    ``dataflow.build_filter_table``."""
+    — refuses on mismatch, and an unstamped non-empty table refuses ANY
+    append (unverifiable — unlike the filter table there is no
+    "declared nothing" case, because kind/params/n_buckets are always
+    declared and a mismatch in any of them corrupts the merge). Shares
+    ``dataflow._guard_stamped_append`` with ``build_filter_table``."""
     from ..dataflow import _guard_stamped_append, _write_keydef
 
     params = dict(params or {})
@@ -516,10 +518,11 @@ def build_sketch_table(df: DataFrame, col: str, kind: str, path: str,
                 f"fresh path."),
             lambda: (
                 f"sketch table at {path!r} has no wiring stamp (built "
-                f"before versioning); cannot prove it matches "
-                f"key_def={key_def!r}. Rebuild at a fresh path, or pass "
-                f"key_def=None only if the derivation never changed."),
-            probe_always=True):
+                f"before versioning); cannot prove its kind/params/"
+                f"n_buckets/key_def match this build's {stamp}, and a "
+                f"mismatched append silently corrupts the merged "
+                f"estimate. Rebuild at a fresh path."),
+            probe_always=True, refuse_unstamped_always=True):
         # fresh table: stamp BEFORE the data append (a crash in between
         # leaves a stamped empty table that resumes cleanly). A legacy
         # non-empty table is left UNSTAMPED — stamping it now would
