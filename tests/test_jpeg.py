@@ -226,3 +226,31 @@ def test_jpeg_truncated_at_restart_boundary():
         decode_jpeg(payload[:cut + 1])          # ends mid-marker
     with pytest.raises(ValueError):
         decode_jpeg(payload[:cut])              # ends at the boundary
+
+
+def test_jpeg_corruption_fuzz_contract():
+    """Error contract under corruption: truncations, byte flips and
+    slice deletions may decode (entropy bits changed) or refuse with
+    ValueError/NotImplementedError — never escape a raw IndexError/
+    KeyError/StopIteration/OverflowError/struct.error (the classes a
+    6000-trial fuzz surfaced before the decode_jpeg boundary wrap)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    payloads = [bytearray(encode_jpeg(img, quality=80, restart_interval=2)),
+                bytearray(encode_jpeg(rgb, quality=80, subsampling="420"))]
+    for trial in range(600):
+        p = bytearray(payloads[trial % 2])
+        op = trial % 3
+        if op == 0:                               # truncate
+            p = p[:int(rng.integers(2, len(p)))]
+        elif op == 1:                             # flip one byte
+            p[int(rng.integers(2, len(p)))] = int(rng.integers(0, 256))
+        else:                                     # delete a slice
+            i = int(rng.integers(2, len(p) - 1))
+            del p[i:i + int(rng.integers(1, 16))]
+        try:
+            out = decode_jpeg(bytes(p))
+            assert out.dtype == np.uint8          # decoded: sane output
+        except (ValueError, NotImplementedError):
+            pass                                  # honest refusal

@@ -427,8 +427,26 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75,
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array, (H,W) grayscale or (H,W,3) RGB."""
-    d = bytes(payload)
+    """Baseline JPEG bytes → uint8 array, (H,W) grayscale or (H,W,3) RGB.
+
+    Error contract: invalid/corrupt input raises ``ValueError``;
+    spec-legal-but-unsupported shapes raise ``NotImplementedError``.
+    Corruption fuzzing found escapes of raw ``IndexError``/``KeyError``/
+    ``StopIteration``/``OverflowError``/``struct.error`` from the
+    entropy and marker loops (a corrupted Huffman value can index any
+    table, a corrupted SOS can name an absent component); the public
+    boundary normalizes those — per-access checks in the hot decode
+    loop would cost more than they tell.
+    """
+    try:
+        return _decode_jpeg_impl(bytes(payload))
+    except (IndexError, KeyError, StopIteration, OverflowError,
+            struct.error) as e:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_impl(d: bytes) -> np.ndarray:
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
