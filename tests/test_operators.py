@@ -2207,3 +2207,46 @@ def test_read_with_fallback_propagates_real_io_errors(tmp_path):
     absent = _AbsentFS()
     assert _read_with_fallback(absent, str(target)) is None
     assert absent.stats == 2  # one pass over (path, path.old), no retry
+
+
+def test_codecs_corruption_fuzz_contract():
+    """Decode error contract under corruption for the stdlib codecs
+    (same protocol as test_jpeg_corruption_fuzz): truncations, byte
+    flips and slice deletions either decode or refuse with ValueError/
+    NotImplementedError — never escape zlib.error / struct.error /
+    wave.Error / EOFError / bare RuntimeError (stdlib wave's corrupt-
+    chunk seek) / IndexError, the classes a 9000-trial fuzz surfaced
+    before the _decode_boundary wrap."""
+    import numpy as np
+
+    from xorf_spark.operators import codecs as C
+
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+    samples = rng.integers(-30000, 30000, 1024).astype(np.int16)
+    bmp_ppm = [
+        # minimal valid BMP/PPM built by the synthetic media table path
+        b"P6 4 3 255\n" + bytes(range(36)),
+    ]
+    payloads = [bytearray(C.encode_png(gray)),
+                bytearray(C.encode_png(rgb, filter_type=4)),
+                bytearray(C.encode_wav(samples, 16000)),
+                bytearray(bmp_ppm[0])]
+    for trial in range(800):
+        p = bytearray(payloads[trial % len(payloads)])
+        op = trial % 3
+        if op == 0:
+            p = p[:int(rng.integers(2, len(p)))]
+        elif op == 1:
+            p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+        else:
+            i = int(rng.integers(0, len(p) - 1))
+            del p[i:i + int(rng.integers(1, 16))]
+        try:
+            if p[:4] == b"RIFF":
+                C.decode_wav(bytes(p))
+            else:
+                C.decode_image(bytes(p))
+        except (ValueError, NotImplementedError):
+            pass

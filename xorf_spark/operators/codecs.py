@@ -30,6 +30,32 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _decode_boundary(kind: str, *extra):
+    """Decorator normalizing corrupt-input escapes to ``ValueError``.
+
+    Corruption fuzzing (same protocol as ``test_jpeg_corruption_fuzz``)
+    escaped raw ``zlib.error``/``struct.error``/``IndexError`` from the
+    image paths and stdlib ``wave``'s ``wave.Error``/``EOFError``/bare
+    ``RuntimeError`` (a seek past a corrupt chunk) from the audio path.
+    The public decode contract is: corrupt input → ``ValueError``,
+    unsupported-but-valid shape → ``NotImplementedError``.
+    """
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(payload, *a, **k):
+            try:
+                return fn(payload, *a, **k)
+            except (IndexError, KeyError, OverflowError, struct.error,
+                    zlib.error, *extra) as e:
+                raise ValueError(
+                    f"corrupt {kind} stream ({type(e).__name__}: {e})"
+                ) from e
+        return wrapped
+    return deco
+
+
 def sniff_format(payload: bytes) -> str:
     """Best-effort container sniff from magic bytes."""
     if payload[:8] == _PNG_MAGIC:
@@ -95,6 +121,7 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@_decode_boundary("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → uint8 array of shape (h, w) for grayscale or (h, w, c)."""
     if payload[:8] != _PNG_MAGIC:
@@ -123,6 +150,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
+    # size check BEFORE allocating (height, stride): a corrupt IHDR can
+    # claim billions of rows — a valid stream always inflates to exactly
+    # height filter bytes + height*stride samples, so this both rejects
+    # the corruption and bounds the unfilter loop by the real data size
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG data size mismatch: IHDR claims {width}x{height}x"
+            f"{channels} but IDAT inflates to {len(raw)} bytes")
     arr = _unfilter(raw, height, stride, channels)
     arr = arr.reshape(height, width, channels)
     return arr[:, :, 0] if channels == 1 else arr
@@ -180,6 +215,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_decode_boundary("BMP")
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit uncompressed BMP → uint8 (h, w, 3) RGB."""
     if payload[:2] != b"BM":
@@ -200,6 +236,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+@_decode_boundary("PPM")
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6, maxval 255) → uint8 (h, w, 3)."""
     if payload[:2] != b"P6":
@@ -211,12 +248,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and payload[pos:pos + 1].isspace():
             pos += 1
         if payload[pos:pos + 1] == b"#":  # comment line
-            while payload[pos] != 0x0A:
+            while payload[pos] != 0x0A:  # IndexError at end → boundary
                 pos += 1
             continue
         start = pos
-        while not payload[pos:pos + 1].isspace():
+        # bound the scan: past-the-end slicing yields b"" (never raises),
+        # so an unterminated token would otherwise spin forever
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
+        if pos == start or pos >= len(payload):
+            raise ValueError("truncated PPM header")
         fields.append(payload[start:pos])
     pos += 1  # the single whitespace after maxval
     w, h, maxval = (int(f) for f in fields)
@@ -249,6 +290,7 @@ def decode_image(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_decode_boundary("WAV", wave.Error, EOFError, RuntimeError)
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (int16 array of shape (n,) or (n, channels), sample_rate)."""
     with wave.open(BytesIO(bytes(payload)), "rb") as wf:
