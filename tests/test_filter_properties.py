@@ -92,3 +92,49 @@ def test_json_serde_roundtrip(cls):
     fresh = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
     assert np.array_equal(np.asarray(back.contains(fresh)),
                           np.asarray(filt.contains(fresh)))
+
+
+def test_from_dma_corruption_fuzz_contract():
+    """DMA deserialization error contract (same protocol as the codec
+    fuzzes): corrupted descriptors/fingerprint blobs either still parse
+    (entropy changed — probes just return different bits) or refuse
+    with ValueError. A pre-fix 6000-trial fuzz escaped struct.error on
+    truncated descriptors and out-of-bounds IndexError from contains()
+    when a corrupt layout field exceeded the fingerprint array."""
+    import numpy as np
+
+    from xorf_spark import filters as FL
+
+    rng = np.random.default_rng(3)
+    small = (np.arange(1, 5001, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+    # the deprecated fuse family needs a dense key set to construct
+    big = (np.arange(1, 200_001, dtype=np.uint64)
+           * np.uint64(0x9E3779B97F4A7C15))
+    probe = small[:64]
+    cases = [(FL.BinaryFuse8, FL.BinaryFuse8.from_keys(small)),
+             (FL.Xor8, FL.Xor8.from_keys(small)),
+             (FL.Fuse8, FL.Fuse8.from_keys(big))]
+    for cls, obj in cases:
+        desc, fps = obj.to_dma()
+        assert cls.from_dma(desc, fps).contains(probe).all()
+        for trial in range(400):
+            d, p = bytearray(desc), bytearray(fps)
+            tgt = d if trial % 2 else p
+            op = trial % 3
+            if op == 0:
+                tgt2 = tgt[:int(rng.integers(0, len(tgt)))]
+            elif op == 1:
+                tgt[int(rng.integers(0, len(tgt)))] = int(
+                    rng.integers(0, 256))
+                tgt2 = tgt
+            else:
+                i = int(rng.integers(0, max(1, len(tgt) - 1)))
+                del tgt[i:i + int(rng.integers(1, 8))]
+                tgt2 = tgt
+            dd, pp = ((bytes(tgt2), bytes(p)) if trial % 2
+                      else (bytes(d), bytes(tgt2)))
+            try:
+                cls.from_dma(dd, pp).contains(probe)
+            except ValueError:
+                pass

@@ -87,8 +87,17 @@ class _XorBase(_Base):
 
     @classmethod
     def from_dma(cls, descriptor: bytes, fingerprints: bytes, n_keys: int = 0):
+        if len(descriptor) < 16:
+            raise ValueError(
+                f"xor descriptor too short: {len(descriptor)} < 16 bytes")
         seed, bl = struct.unpack("<QQ", descriptor[:16])
         fps = np.frombuffer(fingerprints, dtype=_FP_DTYPES[cls.FP_BITS])
+        # probe indices span [0, 3*block_length); a corrupt descriptor
+        # would otherwise turn contains() into out-of-bounds IndexErrors
+        if bl < 1 or fps.size < 3 * bl:
+            raise ValueError(
+                f"corrupt xor DMA: block_length={bl} needs >= {3 * bl} "
+                f"fingerprint slots, got {fps.size}")
         return cls(seed, bl, fps, n_keys=n_keys)
 
 
@@ -143,8 +152,19 @@ class _BinaryFuseBase(_Base):
     def from_dma(cls, descriptor: bytes, fingerprints: bytes, n_keys: int = 0):
         """Zero-copy probe view (reference BinaryFuseNRef::from_dma,
         src/bfuse8.rs:159-168; parse_bfuse_descriptor src/prelude/bfuse.rs:79-86)."""
+        if len(descriptor) < 20:
+            raise ValueError(
+                f"bfuse descriptor too short: {len(descriptor)} < 20 bytes")
         seed, sl, slm, scl = struct.unpack("<QIII", descriptor[:20])
         fps = np.frombuffer(fingerprints, dtype=_FP_DTYPES[cls.FP_BITS])
+        # probe indices span [0, scl + 2*sl) (= array_len) and the mask
+        # must cover exactly the segment; reject corrupt layouts up front
+        # instead of letting contains() raise out-of-bounds IndexErrors
+        if sl < 1 or slm != sl - 1 or fps.size < scl + 2 * sl:
+            raise ValueError(
+                f"corrupt bfuse DMA: segment_length={sl} mask={slm} "
+                f"segment_count_length={scl} needs >= {scl + 2 * sl} "
+                f"fingerprint slots, got {fps.size}")
         return cls(seed, sl, slm, scl, fps, n_keys=n_keys)
 
 
@@ -188,8 +208,17 @@ class _FuseBase(_Base):
 
     @classmethod
     def from_dma(cls, descriptor: bytes, fingerprints: bytes, n_keys: int = 0):
+        if len(descriptor) < 16:
+            raise ValueError(
+                f"fuse descriptor too short: {len(descriptor)} < 16 bytes")
         seed, sl = struct.unpack("<QQ", descriptor[:16])
         fps = np.frombuffer(fingerprints, dtype=_FP_DTYPES[cls.FP_BITS])
+        # probe indices span [0, (FUSE_SEGMENT_COUNT + 2) * sl)
+        need = (K.FUSE_SEGMENT_COUNT + 2) * sl
+        if sl < 1 or fps.size < need:
+            raise ValueError(
+                f"corrupt fuse DMA: segment_length={sl} needs >= {need} "
+                f"fingerprint slots, got {fps.size}")
         return cls(seed, sl, fps, n_keys=n_keys)
 
 
