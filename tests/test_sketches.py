@@ -1029,3 +1029,51 @@ def test_distributed_theta_state_equals_local(spark, keyed_df):
     assert dist.to_bytes() == local.to_bytes()
     assert abs(dist.estimate() - np.unique(arr).size) \
         <= 4 * dist.rel_error() * np.unique(arr).size + 3
+
+
+def test_sketch_from_bytes_corruption_fuzz_contract():
+    """Serde error contract (same protocol as the codec/DMA fuzzes): a
+    corrupted/truncated state blob either parses (entropy changed) or
+    refuses with ValueError — never escapes raw struct.error/KeyError/
+    IndexError from the per-kind parsers, the classes a 10.5k-trial
+    fuzz surfaced before the sketch_from_bytes boundary wrap."""
+    import numpy as np
+
+    from xorf_spark.sketches.kernels import (KEYED_KINDS, SKETCH_KINDS,
+                                             make_sketch, sketch_from_bytes)
+
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 2**63, 2000, dtype=np.int64).view(np.uint64)
+    vals = rng.normal(500, 100, 2000)
+    defaults = {"bloom": {"n_bits": 1 << 14, "k": 7},
+                "cms": {"width": 512, "depth": 5}, "mg": {"k": 64},
+                "hll": {"p": 12}, "theta": {"k": 1024},
+                "kll": {"k": 200}, "tdigest": {"delta": 200}}
+    for kind in SKETCH_KINDS:
+        s = make_sketch(kind, **defaults.get(kind, {}))
+        if kind in KEYED_KINDS:
+            s.add_hashes(keys)
+        else:
+            try:
+                s.add_values(vals)
+            except AttributeError:
+                s.add(vals)
+        blob = s.to_bytes()
+        for trial in range(250):
+            p = bytearray(blob)
+            op = trial % 3
+            if op == 0:
+                p = p[:int(rng.integers(0, len(p)))]
+            elif op == 1:
+                p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            else:
+                i = int(rng.integers(0, max(1, len(p) - 1)))
+                del p[i:i + int(rng.integers(1, 16))]
+            try:
+                s2 = sketch_from_bytes(bytes(p))
+                if hasattr(s2, "estimate"):
+                    s2.estimate()
+                elif hasattr(s2, "quantile"):
+                    s2.quantile(0.5)
+            except (ValueError, NotImplementedError):
+                pass

@@ -866,6 +866,18 @@ def make_sketch(kind: str, **params):
 
 
 def sketch_from_bytes(data: bytes):
-    head, bufs = _unpack(bytes(data))
-    kind = head.pop("kind")
-    return _CLASSES[kind]._from(head, bufs)
+    """Parse a sketch state blob (``to_bytes`` output).
+
+    Error contract: a corrupt/truncated blob raises ``ValueError``.
+    Corruption fuzzing escaped raw ``struct.error``/``KeyError``/
+    ``IndexError`` from the per-kind parsers; this boundary normalizes
+    them — the lineage-table and streaming readers treat ValueError as
+    "corrupt partial, fail the read loudly", never as state."""
+    try:
+        head, bufs = _unpack(bytes(data))
+        kind = head.pop("kind")
+        return _CLASSES[kind]._from(head, bufs)
+    except (struct.error, KeyError, IndexError, OverflowError,
+            UnicodeDecodeError) as e:
+        raise ValueError(
+            f"corrupt sketch payload ({type(e).__name__}: {e})") from e
