@@ -88,16 +88,46 @@ def _fp_bits(kind: str) -> int:
 
 _SHIPPED: set[str] = set()
 
+#: Spark 4.x guards every JVM→python Arrow feed with a per-appended-ROW
+#: ``ArrowWriter.sizeInBytes()`` call (BatchedPythonArrowInput.
+#: underBatchSizeLimit) to honor ``spark.sql.execution.arrow.
+#: maxBytesPerBatch`` — and ``sizeInBytes`` walks the root StructVector's
+#: children (``setValueCount``/``getChildren``) each time, costing ~5μs/row
+#: of pure JVM CPU. At this library's feed shapes (64-bit key columns at
+#: ~1M rows/batch) that accounting is 6-10× the entire useful feed cost
+#: (measured: 32M-key HLL fold 5.8s → 0.7s, one-shot sharded build 8.8s →
+#: 4.5s on local[32]; BENCH/ROUND6_NOTES.md "Arrow feed wall"). The runner
+#: short-circuits the check ONLY at the Int.MaxValue sentinel, so
+#: ``ship_package`` pins that sentinel whenever the session still has
+#: Spark's default (64 MiB): batches stay bounded by
+#: ``arrow.maxRecordsPerBatch`` (rows × row-width, ≤8 MiB for key feeds;
+#: every declared query's rows are ≤ a few KiB so no boundary moves), and
+#: an EXPLICIT user-set byte cap is always respected.
+_ARROW_MAX_BYTES_KEY = "spark.sql.execution.arrow.maxBytesPerBatch"
+_ARROW_MAX_BYTES_DEFAULT = "67108864b"          # Spark 4.1 default, 64 MiB
+_ARROW_MAX_BYTES_SENTINEL = str((1 << 31) - 1)  # Int.MaxValue: check skipped
+
+
+def _tune_arrow_feed(spark: SparkSession) -> None:
+    try:
+        current = spark.conf.get(_ARROW_MAX_BYTES_KEY)
+    except Exception:  # pre-4.x Spark without the conf: nothing to tune
+        return
+    if current == _ARROW_MAX_BYTES_DEFAULT:
+        spark.conf.set(_ARROW_MAX_BYTES_KEY, _ARROW_MAX_BYTES_SENTINEL)
+
 
 def ship_package(spark: SparkSession) -> None:
     """Make ``xorf_spark`` importable on python workers regardless of the
     driver process's cwd/PYTHONPATH: zip the package and ``addPyFile`` it
     (idempotent per SparkContext — the programmatic twin of spark-submit
-    ``--py-files dist/xorf_spark.zip``).
+    ``--py-files dist/xorf_spark.zip``), and apply the library's Arrow-feed
+    runtime default (see ``_tune_arrow_feed`` above).
 
     Idempotence is keyed by ``applicationId`` (unique per context), NOT
     ``id(sc)`` — python ids are reused after GC, and a stale hit would skip
     shipping to a brand-new context."""
+    _tune_arrow_feed(spark)
     sc = spark.sparkContext
     if sc.applicationId in _SHIPPED:
         return
