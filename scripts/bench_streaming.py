@@ -32,7 +32,7 @@ OPS = set(os.environ.get("XORF_STREAM_OPS", "dedup,hll,refresh").split(","))
 
 
 def make_spark():
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("bench-streaming")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -41,6 +41,11 @@ def make_spark():
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # library runtime defaults (Arrow feed byte-cap sentinel) + worker
+    # importability without relying on the driver's PYTHONPATH
+    from xorf_spark.dataflow import ship_package
+    ship_package(spark)
+    return spark
 
 
 def write_feed(spark, feed_dir: str, dup_frac: float = 0.25) -> int:

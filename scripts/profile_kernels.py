@@ -88,8 +88,7 @@ def profile_bfuse(n):
     def assign():
         F_ = np.random.default_rng(0xC0FFEE).integers(
             0, 256, size=array_len, dtype=np.uint8)
-        for uh, _sel, fnd in reversed(rounds):
-            j0, j1, j2 = K.bfuse_hash_of_hash(uh, sl, slm, scl)
+        for uh, _sel, fnd, j0, j1, j2 in reversed(rounds):
             h012 = np.stack((j0, j1, j2, j0, j1))
             cols5 = np.arange(uh.size)
             fnd64 = fnd.astype(np.int64)

@@ -201,8 +201,11 @@ def test_peel_strategies_equivalent():
         outs.append((rounds, total))
     (ra, ta), (rb, tb) = outs
     assert ta == tb == n and len(ra) == len(rb)
-    for (uha, sela, _), (uhb, selb, _) in zip(ra, rb):
+    for (uha, sela, _, ja0, ja1, ja2), (uhb, selb, _, jb0, jb1, jb2) \
+            in zip(ra, rb):
         assert np.array_equal(uha, uhb) and np.array_equal(sela, selb)
+        assert (np.array_equal(ja0, jb0) and np.array_equal(ja1, jb1)
+                and np.array_equal(ja2, jb2))
 
     lay = K.bfuse_layout(n)
     sl, slm, scl = (lay["segment_length"], lay["segment_length_mask"],
@@ -231,6 +234,6 @@ def test_peel_strategies_equivalent():
         outs.append((rounds, total))
     (ra, ta), (rb, tb) = outs
     assert ta == tb == n and len(ra) == len(rb)
-    for (uha, sela, fa), (uhb, selb, fb) in zip(ra, rb):
+    for (uha, sela, fa, *_ja), (uhb, selb, fb, *_jb) in zip(ra, rb):
         assert np.array_equal(uha, uhb) and np.array_equal(sela, selb)
         assert np.array_equal(fa, fb)

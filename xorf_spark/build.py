@@ -69,19 +69,43 @@ def _peel(counts: np.ndarray, hxor: np.ndarray, idx3_fn, n: int,
     schedule matches the reference bit-for-bit.
 
     Returns (rounds, total) where rounds is a list of
-    (hashes, selected_slot, found_code|None) batches in peel order.
+    (hashes, selected_slot, found_code|None, j0, j1, j2) batches in peel
+    order — the three slot-index arrays are carried so the fingerprint
+    assignment phase never re-derives them.
     """
     rounds = []
     total = 0
     frontier = np.flatnonzero(counts == 1)
     while frontier.size:
         hs = hxor[frontier]
-        uh, first = np.unique(hs, return_index=True)
-        sel = frontier[first]
+        # Dedup a key that is currently singleton in SEVERAL of its slots
+        # (it must be peeled once): keep only the entry whose frontier slot
+        # is the key's numerically SMALLEST currently-singleton slot —
+        # byte-identical selection to the old ``np.unique(hs)`` first-
+        # occurrence over the ascending frontier, but in O(m) vector ops
+        # instead of a per-round FULL SORT (profiled at m=20k: 1.4ms of a
+        # 3.6ms round; BENCH/ROUND6_NOTES.md). Every currently-singleton
+        # slot is in the frontier (slots enter it the round they become
+        # singleton), so ``counts[j]==1`` identifies the sibling entries.
+        j0a, j1a, j2a = idx3_fn(hs)
+        big = np.iinfo(np.int64).max
+        minslot = np.where(counts[j0a] == 1, j0a, big)
+        np.minimum(minslot, np.where(counts[j1a] == 1, j1a, big),
+                   out=minslot)
+        np.minimum(minslot, np.where(counts[j2a] == 1, j2a, big),
+                   out=minslot)
+        keep = frontier == minslot
+        if not keep.all():
+            uh = hs[keep]
+            sel = frontier[keep]
+            j0, j1, j2 = j0a[keep], j1a[keep], j2a[keep]
+        else:
+            uh, sel, j0, j1, j2 = hs, frontier, j0a, j1a, j2a
         fnd = posxor[sel] if posxor is not None else None
-        rounds.append((uh, sel, fnd))
+        # (j0, j1, j2) ride along so the assignment phase reuses them
+        # instead of re-deriving idx3 over every key a second time
+        rounds.append((uh, sel, fnd, j0, j1, j2))
         total += int(uh.size)
-        j0, j1, j2 = idx3_fn(uh)
         m = int(uh.size)
         if sorted_scatter:
             # Packed sort + segmented xor/count reductions instead of six
@@ -190,8 +214,7 @@ def build_xor(keys: np.ndarray, fp_bits: int = 8, max_iter: int | None = None,
     # the xor family uses make_block! (zeros), not make_fp_block!
     # (reference src/prelude/xor.rs:163-171).
     B = np.zeros(capacity, dtype=fp_dtype)
-    for uh, sel, _ in reversed(rounds):
-        j0, j1, j2 = K.xor_h012(uh, bl)
+    for uh, sel, _fnd, j0, j1, j2 in reversed(rounds):
         B[sel] = K.fingerprint(uh, fp_dtype) ^ B[j0] ^ B[j1] ^ B[j2]
 
     return BuildResult(
@@ -300,8 +323,7 @@ def build_binary_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
             0, 1 << fp_bits, size=array_len, dtype=fp_dtype)
     else:
         F = np.zeros(array_len, dtype=fp_dtype)
-    for uh, _sel, fnd in reversed(rounds):
-        j0, j1, j2 = K.bfuse_hash_of_hash(uh, sl, slm, scl)
+    for uh, _sel, fnd, j0, j1, j2 in reversed(rounds):
         h012 = np.stack((j0, j1, j2, j0, j1))  # (5, m): h012 table per
         # reference src/prelude/bfuse.rs:296-305
         cols5 = np.arange(uh.size)
@@ -382,8 +404,7 @@ def build_fuse(keys: np.ndarray, fp_bits: int = 8, max_iter: int = 1000,
             0, 1 << fp_bits, size=capacity, dtype=fp_dtype)
     else:
         B = np.zeros(capacity, dtype=fp_dtype)
-    for uh, sel, _ in reversed(rounds):
-        j0, j1, j2 = K.fuse_h012(uh, sl)
+    for uh, sel, _fnd, j0, j1, j2 in reversed(rounds):
         fp = K.fingerprint(uh, fp_dtype)
         # assignment excludes the key's own slot (reference src/prelude/fuse.rs:163-171)
         others = np.where(sel == j0, B[j1] ^ B[j2],
