@@ -38,6 +38,10 @@ def make_spark():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
+        # same Arrow batching as bench.py's main session: the state
+        # writer's per-10k-row chunk turnover cost ~20% of the dedup row
+        # (A/B in BENCH/ROUND6_NOTES.md)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

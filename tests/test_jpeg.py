@@ -254,3 +254,44 @@ def test_jpeg_corruption_fuzz_contract():
             assert out.dtype == np.uint8          # decoded: sane output
         except (ValueError, NotImplementedError):
             pass                                  # honest refusal
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    (r5 advice #2): injecting fills before every RST and before the EOI
+    must decode to the same pixels as the unpadded payload."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=85, restart_interval=2)
+    plain = decode_jpeg(payload)
+    padded = bytearray()
+    i = 0
+    while i < len(payload):
+        b = payload[i]
+        if (b == 0xFF and i + 1 < len(payload)
+                and (payload[i + 1] & 0xF8) == 0xD0 and i > 2):
+            padded += b"\xff\xff\xff"          # fills before RSTn
+        if (b == 0xFF and i + 1 < len(payload)
+                and payload[i + 1] == 0xD9):
+            padded += b"\xff"                  # fill before EOI
+        padded.append(b)
+        i += 1
+    assert (decode_jpeg(bytes(padded)) == plain).all()
+
+
+def test_jpeg_zero_sampling_factor_is_corrupt_not_unsupported():
+    """h or v of 0 is not spec-legal (T.81 B.2.2) — the corrupt-input
+    contract says ValueError; NotImplementedError stays reserved for
+    legal-but-unsupported factors 3-4 (r5 advice #3)."""
+    img = np.full((16, 16), 90, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, quality=75))
+    i = payload.find(b"\xff\xc0")
+    assert i >= 0
+    # SOF0 layout: len(2) P(1) Y(2) X(2) Nf(1) [Cid(1) HV(1) Tq(1)]...
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    payload[hv_off] = 0x01 & 0x0F              # H=0, V=1 -> corrupt
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    payload[hv_off] = 0x33                     # H=3, V=3 -> legal, unsupported
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))

@@ -2107,6 +2107,16 @@ def test_stream_manifest_legacy_and_future_formats_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="has format 99"):
         read_stream_manifest(str(out))
 
+    # an EMPTY pre-v2 manifest has no batches/xor64 entries for the shape
+    # detection to fire on — the missing "format" key alone must mark it
+    # legacy (r5 advice #4), not let it be adopted and extended as v2
+    empty_legacy = {"n_rows": 0, "n_shards": 2, "seed": 17,
+                    "key_col": "key", "columns": ["key"],
+                    "batches": [], "shards": {}}
+    (out / "_MANIFEST.json").write_text(_json.dumps(empty_legacy))
+    with pytest.raises(ValueError, match="legacy pre-v2 layout"):
+        read_stream_manifest(str(out))
+
 
 def test_stream_delivery_key_def_wiring_guard(spark, tmp_path):
     """r4 verdict item 8: a restarted delivery whose upstream key

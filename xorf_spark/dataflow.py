@@ -379,11 +379,17 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
     # store sees O(cores) files, not O(input_partitions x n_shards).
     n_write = max(n_shards, spark.sparkContext.defaultParallelism * 2)
     salt = max(1, n_write // n_shards)
+    # shuffle the bare 8-byte key and re-derive shard_id ABOVE the
+    # exchange: the partitioning expressions are evaluated map-side
+    # either way, so row placement is identical, but the shuffled row
+    # narrows by the 4-byte shard_id column (measured 5-7% on the
+    # 54M-key token spill warm, ~40% cold; BENCH/ROUND6_NOTES.md)
+    shard_expr = shard_id_col("key", n_shards)
     staged = (keys_df.select(F.col(key_col).alias("key"))
               .where(F.col(key_col).isNotNull())
-              .withColumn("shard_id", shard_id_col("key", n_shards))
-              .repartition(n_shards * salt, "shard_id",
-                           F.pmod(F.col("key"), F.lit(salt))))
+              .repartition(n_shards * salt, shard_expr,
+                           F.pmod(F.col("key"), F.lit(salt)))
+              .withColumn("shard_id", shard_expr))
     if pre_dedup:
         staged = staged.mapInArrow(_make_batch_dedup(),
                                    "key long, shard_id int")
@@ -463,6 +469,7 @@ def _make_member_committer():
     """
     def commit_members(members_dir: str, sid: int, arrow_table) -> str:
         import os as _os
+        import socket as _socket
 
         import pyarrow.parquet as _pq
         from pyarrow import fs as _pafs
@@ -470,7 +477,23 @@ def _make_member_committer():
         mfs, mbase = _pafs.FileSystem.from_uri(members_dir)
         d = f"{mbase.rstrip('/')}/shard_id={sid}"
         mfs.create_dir(d, recursive=True)
-        tmp = f"{d}/.part-0.parquet.tmp-{_os.getpid()}"
+        # attempt-unique temp name: PID alone collides across container
+        # hosts (executor PIDs repeat), so two concurrent attempts of the
+        # same shard on shared storage could interleave bytes into one
+        # temp file; hostname + task attempt id (uuid fallback when no
+        # TaskContext, e.g. driver-side tests) disambiguates every
+        # attempt in the cluster
+        try:
+            from pyspark import TaskContext as _TC
+            ctx = _TC.get()
+            attempt = str(ctx.taskAttemptId()) if ctx is not None else None
+        except Exception:
+            attempt = None
+        if attempt is None:
+            import uuid as _uuid
+            attempt = _uuid.uuid4().hex[:12]
+        tmp = (f"{d}/.part-0.parquet.tmp-{_socket.gethostname()}"
+               f"-{_os.getpid()}-{attempt}")
         with mfs.open_output_stream(tmp) as fh:
             _pq.write_table(arrow_table, fh)
         final = f"{d}/part-0.parquet"
@@ -1250,7 +1273,17 @@ def probe_staged(probe_df: DataFrame, table: "FilterTable", stage_dir: str,
                 if m is None:
                     verdict = np.zeros(arr.size, dtype=bool)
                 else:
-                    verdict = _filter_from_row(_row_from_meta(m))(arr)
+                    # probe-fn cache keyed by the shipped file name
+                    # (unique per table generation + shard): a reused
+                    # python worker re-probing the same shard set skips
+                    # the per-task memmap + descriptor rebuild, so
+                    # repeat probes fault each fingerprint file once
+                    # per worker, not once per call (VERDICT r5 item 6)
+                    fn = _TABLE_CACHE.get(m["__file"])
+                    if fn is None:
+                        fn = _filter_from_row(_row_from_meta(m))
+                        _TABLE_CACHE[m["__file"]] = fn
+                    verdict = fn(arr)
                 if members_dir is not None:
                     _commit_members(
                         members_dir, sid,

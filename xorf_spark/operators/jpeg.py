@@ -208,6 +208,12 @@ class _BitReader:
             raise ValueError("truncated JPEG entropy segment")
         b = d[self.pos]
         if b == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker (and, by the same rule, a stuffed FF 00) — skip the
+            # run before interpreting the byte after 0xFF (bounded scan,
+            # so a corrupt all-FF tail still terminates in ValueError)
+            while self.pos + 1 < len(d) and d[self.pos + 1] == 0xFF:
+                self.pos += 1
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF
@@ -245,6 +251,11 @@ class _BitReader:
         """Restart boundary: drop pad bits, consume RSTn."""
         self.acc, self.nbits = 0, 0
         d = self.data
+        # spec-legal fill bytes (T.81 B.1.1.2): skip a 0xFF run down to
+        # the final 0xFF that introduces the marker
+        while (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+               and d[self.pos + 1] == 0xFF):
+            self.pos += 1
         if self.pos + 1 >= len(d):
             raise ValueError("truncated JPEG at restart boundary")
         if d[self.pos] != 0xFF or (d[self.pos + 1] & 0xF8) != 0xD0:
@@ -543,6 +554,10 @@ def _decode_scan(d: bytes, pos: int, frame: dict, scan: list,
     comps = [c for c, _, _ in scan]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if any(not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4 for c in comps):
+        # 0 (or >4) is not a spec-legal sampling factor (T.81 B.2.2) —
+        # corrupt input contract says ValueError, never NotImplemented
+        raise ValueError("corrupt JPEG: sampling factors must be 1-4")
     if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
         raise NotImplementedError("sampling factors beyond 2 unsupported")
     mcus_x = -(-w // (8 * hmax))

@@ -69,7 +69,13 @@ def _check_manifest_format(manifest: dict, path: str) -> dict:
     """Loud, actionable refusal on a manifest this code cannot extend —
     instead of the opaque TypeError/KeyError a shape mismatch would
     produce deep inside replay accounting (r4 advice #3)."""
-    legacy = (any(not isinstance(b, dict) for b in manifest.get("batches", []))
+    # every manifest this code writes carries "format" from birth, so a
+    # missing key IS the legacy layout — shape detection alone misses an
+    # EMPTY pre-v2 manifest (no batches / no xor64 shard entries), which
+    # would otherwise be silently adopted and extended in place as v2
+    legacy = ("format" not in manifest
+              or any(not isinstance(b, dict)
+                     for b in manifest.get("batches", []))
               or any(isinstance(s, dict) and "xor64" in s
                      for s in manifest.get("shards", {}).values()))
     if legacy:
@@ -79,7 +85,7 @@ def _check_manifest_format(manifest: dict, path: str) -> dict:
             f"guards are incompatible with this version — re-deliver to a "
             f"fresh path (or verify the old delivery with the code that "
             f"wrote it)")
-    fmt = int(manifest.get("format", STREAM_MANIFEST_FORMAT))
+    fmt = int(manifest["format"])
     if fmt != STREAM_MANIFEST_FORMAT:
         raise ValueError(
             f"delivery manifest at {path!r} has format {fmt}; this build "
