@@ -51,6 +51,41 @@ def test_exact_dedup_all_null_ids_keep_real_row(spark):
     assert got["y"] == 7            # non-null id still wins its group
 
 
+def test_minhash_signatures_arrow_matches_catalyst(spark):
+    """r6: the vectorized numpy signature path (operators/xxh64.py
+    xxhash64 port) must be BIT-IDENTICAL to the Catalyst expression on
+    every edge: short/empty/NULL token arrays, NULL elements, extreme
+    int values, long-typed tokens, and several (num_perm, shingle)."""
+    from xorf_spark.operators.dedup import (_minhash_signatures_expr,
+                                            minhash_signatures)
+
+    rows = [("a", [1, 2, 3, 4, 5]), ("b", [7, 8]), ("c", []),
+            ("d", None), ("e", [1, None, 3, 4]),
+            ("f", [-2, -1, 0, 2**31 - 1, -2**31]),
+            ("g", list(range(100)))]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    for np_, sh in ((4, 3), (8, 2), (64, 3)):
+        a = minhash_signatures(df, num_perm=np_, shingle=sh) \
+            .orderBy("doc_id").collect()
+        e = _minhash_signatures_expr(df, "tokens", np_, sh, "minhash") \
+            .orderBy("doc_id").collect()
+        assert all(ra["minhash"] == re["minhash"] for ra, re in zip(a, e))
+    dfl = spark.createDataFrame(
+        [("a", [1, 2, 3, 4, 5]), ("b", [2**62, -2**62, 0, 7]),
+         ("c", [9, None, 11, 12, 13])],
+        "doc_id string, tokens array<long>")
+    a = minhash_signatures(dfl, num_perm=8, shingle=3) \
+        .orderBy("doc_id").collect()
+    e = _minhash_signatures_expr(dfl, "tokens", 8, 3, "minhash") \
+        .orderBy("doc_id").collect()
+    assert all(ra["minhash"] == re["minhash"] for ra, re in zip(a, e))
+    # non-integral tokens route to the expression path and still work
+    dfs = spark.createDataFrame([("a", ["x", "y", "z", "w"])],
+                                "doc_id string, tokens array<string>")
+    assert len(minhash_signatures(dfs, num_perm=4, shingle=3)
+               .first()["minhash"]) == 4
+
+
 def test_minhash_signature_properties(spark, token_df):
     sigs = dedup.minhash_signatures(token_df, num_perm=16, shingle=3)
     row = sigs.select("doc_id", "minhash").first()

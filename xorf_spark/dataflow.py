@@ -400,6 +400,11 @@ def _stage_keys(keys_df: DataFrame, stage_dir: str, n_shards: int,
      # and only burn encode/decode CPU on this transient spill
      .option("compression", "none")
      .option("parquet.enable.dictionary", "false")
+     # page CRCs off for the SPILL only: ~10% of encode CPU (A/B at 54M
+     # keys, BENCH/ROUND6_NOTES.md) for integrity over a minutes-long
+     # same-job round trip; durable outputs (shard tables, members)
+     # keep their writers' checksum defaults
+     .option("parquet.page.write-checksum.enabled", "false")
      .partitionBy("shard_id").parquet(stage_dir))
     try:
         return [int(r.shard_id) for r in

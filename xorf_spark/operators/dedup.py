@@ -70,9 +70,109 @@ def minhash_signatures(df: DataFrame, tokens_col: str = "tokens",
                        num_perm: int = 64, shingle: int = 3,
                        out_col: str = "minhash") -> DataFrame:
     """Per-row MinHash signature over ``shingle``-gram shingles of an array
-    column, entirely as Catalyst array lambdas (no explode, no shuffle):
-    sig[i] = min over shingles s of xxhash64(s, i).
+    column: sig[i] = min over shingles s of xxhash64(s, i).
+
+    Integral token arrays (array<int>/array<long>) take a vectorized
+    numpy ``mapInArrow`` path — a bit-exact port of the Catalyst
+    ``xxhash64`` chain (operators/xxh64.py), parity-tested against the
+    expression form — because the num_perm×shingles ``aggregate`` lambda
+    is interpreted per element in the JVM (~10M evals/s/core; the fold
+    was 65% of the bench MinHash row, BENCH/ROUND6_NOTES.md). Other
+    token types keep the pure-Catalyst expression. Note the Arrow path
+    round-trips every column of ``df`` through the python worker (guide
+    §4.1) — project ``df`` down to what you need first, as the LSH
+    pipeline already does.
     """
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    t = df.schema[tokens_col].dataType
+    if isinstance(t, ArrayType) and isinstance(t.elementType,
+                                               (IntegerType, LongType)):
+        return _minhash_signatures_arrow(
+            df, tokens_col, num_perm, shingle, out_col,
+            long_tokens=isinstance(t.elementType, LongType))
+    return _minhash_signatures_expr(df, tokens_col, num_perm, shingle,
+                                    out_col)
+
+
+def _minhash_signatures_arrow(df: DataFrame, tokens_col: str,
+                              num_perm: int, shingle: int, out_col: str,
+                              long_tokens: bool) -> DataFrame:
+    """Vectorized signature path: per Arrow batch, flatten the token
+    lists, hash every stride-1 shingle window once (chained element
+    hashes with NULL elements passing the seed through, exactly like
+    Catalyst), then fold the per-permutation re-hash with
+    ``minimum.reduceat`` over the per-doc shingle segments. Docs with no
+    shingles (shorter than ``shingle``, or a NULL token array) emit the
+    Catalyst-identical all-NULL signature of length ``num_perm``."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(out_col, ArrayType(LongType(), True), True)])
+    tidx = df.columns.index(tokens_col)
+
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from xorf_spark.operators import xxh64 as X
+
+        for b in batches:
+            la = b.column(tidx)
+            d = len(la)
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_null = np.asarray(la.is_null())
+            vals_pa = la.values
+            vnull = np.asarray(vals_pa.is_null())
+            v = vals_pa.fill_null(0).to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            nsh = np.where(doc_null, 0, np.maximum(lens - shingle + 1, 0))
+            total = int(nsh.sum())
+            cum = np.concatenate(([0], np.cumsum(nsh)))
+            sig = np.empty((d, num_perm), dtype=np.int64)
+            elem_null = np.zeros((d, num_perm), dtype=bool)
+            if total:
+                doc_of = np.repeat(np.arange(d), nsh)
+                within = np.arange(total) - cum[doc_of]
+                start = offs[:-1][doc_of] + within
+                hash_elem = X.hash_long if long_tokens else X.hash_int
+                seed = np.full(total, X.SEED, dtype=np.uint64)
+                for j in range(shingle):
+                    idx = start + j
+                    h = hash_elem(v[idx], seed)
+                    nj = vnull[idx]
+                    if nj.any():
+                        seed = np.where(nj, seed, h)
+                    else:
+                        seed = h
+                s1 = X.hash_long(seed, X.SEED)
+                nonempty = nsh > 0
+                segs = cum[:-1][nonempty]
+                for p in range(num_perm):
+                    vp = X.hash_int(np.int64(p), s1).view(np.int64)
+                    sig[nonempty, p] = np.minimum.reduceat(vp, segs)
+                elem_null[~nonempty, :] = True
+            else:
+                elem_null[:, :] = True
+            out_vals = pa.array(sig.ravel(), type=pa.int64(),
+                                mask=elem_null.ravel())
+            out = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (d + 1) * num_perm, num_perm,
+                                   dtype=np.int32), type=pa.int32()),
+                out_vals)
+            yield pa.RecordBatch.from_arrays(list(b.columns) + [out],
+                                             names=list(b.schema.names)
+                                             + [out_col])
+
+    return df.mapInArrow(fold, out_schema)
+
+
+def _minhash_signatures_expr(df: DataFrame, tokens_col: str,
+                             num_perm: int, shingle: int,
+                             out_col: str) -> DataFrame:
+    """Pure-Catalyst signature expression — the generic-type path, and
+    the parity reference the Arrow path is tested against."""
     # Two-stage: hash every shingle ONCE to a 64-bit base fingerprint
     # (scalar element accesses, no slice allocation — the same win as
     # dataflow.shingle_keys), projected into a real column so Catalyst

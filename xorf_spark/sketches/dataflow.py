@@ -226,9 +226,11 @@ def sketch_agg_staged(df: DataFrame, col: str, kind: str, stage_dir: str,
         # read w as float64-with-NaN and diverge from sketch_agg)
         proj = proj.where(F.col("w").isNotNull())
     (proj.write.mode("overwrite")
-     # uniform 64-bit keys are incompressible (see dataflow._stage_keys)
+     # uniform 64-bit keys are incompressible (see dataflow._stage_keys);
+     # page CRCs off for the transient spill, same trade as there
      .option("compression", "none")
      .option("parquet.enable.dictionary", "false")
+     .option("parquet.page.write-checksum.enabled", "false")
      .parquet(stage_dir))
 
     from pyarrow import fs as _pafs
