@@ -1,9 +1,10 @@
 """Deduplication operators for training-data pipelines.
 
-All hot paths are Catalyst expressions (JVM, whole-stage codegen) — the
-MinHash signature is computed per-row with array lambdas (no explode, no
-shuffle); only the LSH bucket join and the verification join shuffle, and
-both shuffle on uniformly-hashed keys.
+Hot paths are Catalyst expressions (JVM, whole-stage codegen) or
+vectorized numpy over Arrow batches — the MinHash signature is computed
+per-row with no explode and no shuffle (numpy fast path for integral
+tokens, array lambdas otherwise); only the LSH bucket join and the
+verification join shuffle, and both shuffle on uniformly-hashed keys.
 
 Scale notes (100 TB):
 - exact_dedup is a min_by group-aggregate: map-side partial agg keeps one
